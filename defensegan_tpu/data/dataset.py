@@ -1,0 +1,177 @@
+"""Dataset abstraction + loaders for MNIST / F-MNIST / CelebA.
+
+Reference parity: datasets/dataset.py (Dataset.load(split) -> numpy arrays),
+datasets/mnist.py (IDX download+parse), datasets/fmnist.py (URL override),
+datasets/celeba.py (center-crop 108 -> resize 64, gender label from the
+'Male' column of list_attr_celeba.txt) of kabkabm/defensegan.
+
+Differences by design: images are [0, 1] float32 here (the [-1, 1] transform
+lives next to the generator, see models/generator.py); downloads are replaced
+by parse-if-present + deterministic synthetic fallback (no network in this
+environment).
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import struct
+from typing import Optional, Tuple
+
+import numpy as np
+
+from defensegan_tpu.data.synthetic import make_synthetic
+
+Arrays = Tuple[np.ndarray, np.ndarray]
+
+_SPLIT_SIZES = {"train": 4096, "dev": 512, "test": 1024}  # synthetic fallback
+
+
+def _read_idx(path: str) -> np.ndarray:
+    """Parse an IDX file (optionally .gz), the MNIST wire format."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        zero, dtype_code, ndim = struct.unpack(">HBB", f.read(4))
+        if zero != 0:
+            raise ValueError(f"{path}: bad IDX magic")
+        shape = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
+        dtype = {0x08: np.uint8, 0x09: np.int8, 0x0B: np.int16,
+                 0x0C: np.int32, 0x0D: np.float32, 0x0E: np.float64}[dtype_code]
+        data = np.frombuffer(f.read(), dtype=np.dtype(dtype).newbyteorder(">"))
+        return data.reshape(shape)
+
+
+def _find_idx(data_dir: str, stem: str) -> Optional[str]:
+    for suffix in ("", ".gz"):
+        for sep in ("-", "."):
+            p = os.path.join(data_dir, stem.replace("-", sep) + suffix)
+            if os.path.exists(p):
+                return p
+    return None
+
+
+class Dataset:
+    """name + data_dir + load(split) -> (images [N,H,W,C] in [0,1], labels)."""
+
+    def __init__(self, name: str, data_dir: str = "data", image_size: int = 28,
+                 channels: int = 1, num_classes: int = 10, seed: int = 0):
+        self.name = name
+        self.data_dir = os.path.join(data_dir, name)
+        self.image_size = image_size
+        self.channels = channels
+        self.num_classes = num_classes
+        self.seed = seed
+
+    # -- split plumbing (reference: datasets/dataset.py split conventions) --
+    def load(self, split: str = "train") -> Arrays:
+        if split not in ("train", "dev", "test"):
+            raise ValueError(f"unknown split {split!r}")
+        real = self._load_real(split)
+        if real is not None:
+            return real
+        return self._load_synthetic(split)
+
+    def _load_synthetic(self, split: str) -> Arrays:
+        return make_synthetic(_SPLIT_SIZES[split], self.image_size,
+                              self.channels, self.num_classes,
+                              seed=self.seed, split=split)
+
+    def _load_real(self, split: str) -> Optional[Arrays]:
+        return None
+
+
+class Mnist(Dataset):
+    """MNIST from IDX files if present (reference: datasets/mnist.py).
+
+    The reference's 'dev' split is the tail of the training set; same here
+    (last 5000 train images).
+    """
+
+    def __init__(self, data_dir: str = "data", seed: int = 0,
+                 name: str = "mnist"):
+        super().__init__(name, data_dir, image_size=28, channels=1,
+                         num_classes=10, seed=seed)
+
+    def _load_real(self, split: str) -> Optional[Arrays]:
+        kind = "train" if split in ("train", "dev") else "t10k"
+        img_path = _find_idx(self.data_dir, f"{kind}-images-idx3-ubyte")
+        lbl_path = _find_idx(self.data_dir, f"{kind}-labels-idx1-ubyte")
+        if img_path is None or lbl_path is None:
+            return None
+        images = _read_idx(img_path).astype(np.float32) / 255.0
+        images = images.reshape(-1, 28, 28, 1)
+        labels = _read_idx(lbl_path).astype(np.int32)
+        if split == "train":
+            return images[:-5000], labels[:-5000]
+        if split == "dev":
+            return images[-5000:], labels[-5000:]
+        return images, labels
+
+
+class FMnist(Mnist):
+    """Fashion-MNIST: identical IDX layout (reference: datasets/fmnist.py)."""
+
+    def __init__(self, data_dir: str = "data", seed: int = 0):
+        super().__init__(data_dir, seed=seed, name="f-mnist")
+
+
+class CelebA(Dataset):
+    """CelebA 64x64 gender (reference: datasets/celeba.py).
+
+    Real path: aligned JPEGs under data_dir/celeba/img_align_celeba plus
+    list_attr_celeba.txt; center-crop 108x108 then resize to 64x64; label =
+    the 'Male' attribute. Falls back to synthetic color images.
+    """
+
+    def __init__(self, data_dir: str = "data", seed: int = 0):
+        super().__init__("celeba", data_dir, image_size=64, channels=3,
+                         num_classes=2, seed=seed)
+
+    def _load_real(self, split: str) -> Optional[Arrays]:
+        img_dir = os.path.join(self.data_dir, "img_align_celeba")
+        attr_path = os.path.join(self.data_dir, "list_attr_celeba.txt")
+        if not (os.path.isdir(img_dir) and os.path.exists(attr_path)):
+            return None
+        from PIL import Image
+
+        with open(attr_path) as f:
+            f.readline()  # count
+            header = f.readline().split()
+            male_col = header.index("Male")
+            rows = [line.split() for line in f if line.strip()]
+        # standard CelebA split boundaries: train <162771, val <182638, rest test
+        lo, hi = {"train": (0, 162770), "dev": (162770, 182637),
+                  "test": (182637, len(rows))}[split]
+        rows = rows[lo:hi]
+        images, labels = [], []
+        for row in rows:
+            p = os.path.join(img_dir, row[0])
+            if not os.path.exists(p):
+                continue
+            im = Image.open(p)
+            w, h = im.size
+            left, top = (w - 108) // 2, (h - 108) // 2
+            im = im.crop((left, top, left + 108, top + 108)).resize(
+                (64, 64), Image.BILINEAR)
+            images.append(np.asarray(im, dtype=np.float32) / 255.0)
+            labels.append(1 if row[male_col + 1] == "1" else 0)
+        if not images:
+            return None
+        return np.stack(images), np.asarray(labels, dtype=np.int32)
+
+
+_REGISTRY = {
+    "mnist": Mnist,
+    "f-mnist": FMnist,
+    "fmnist": FMnist,
+    "celeba": CelebA,
+}
+
+
+def get_dataset(name: str, data_dir: str = "data", seed: int = 0) -> Dataset:
+    """Dataset factory keyed by the cfg TYPE field (reference: train.py dispatch)."""
+    key = name.lower().replace("_", "-")
+    if key not in _REGISTRY:
+        raise ValueError(f"unknown dataset {name!r}; "
+                         f"choose from {sorted(set(_REGISTRY))}")
+    return _REGISTRY[key](data_dir=data_dir, seed=seed)

@@ -1,0 +1,199 @@
+"""DefenseGAN: the user-facing model tying config + models + training + defense.
+
+Reference parity: models/gan.py::DefenseGANBase and its MnistDefenseGAN /
+FMnist / CelebA subclasses plus models/base_model.py session+saver plumbing of
+kabkabm/defensegan. One class here covers all datasets — the per-dataset
+differences are entirely in the config (see configs/gans/*.yml) and the
+generator/critic factories.
+
+API mirrors the reference: train(), reconstruct(x, back_prop=...),
+generate(), save(), load().
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from defensegan_tpu.ckpt import latest_step, restore_checkpoint, save_checkpoint
+from defensegan_tpu.configs import Config, save_config
+from defensegan_tpu.defense.project import (ReconstructionResult, reconstruct,
+                                            sample_z0)
+from defensegan_tpu.gan.train import (GANState, build_optimizers,
+                                      init_gan_state, make_train_step)
+from defensegan_tpu.models import critic_for, generator_for
+from defensegan_tpu.models.generator import to_image_space
+from defensegan_tpu.parallel import make_mesh, shard_batch
+from defensegan_tpu.utils.misc import append_jsonl, ensure_dir
+from defensegan_tpu.utils.visualize import save_images
+
+
+def _dtype_of(name: str):
+    return {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+            "bf16": jnp.bfloat16, "f32": jnp.float32}[name.lower()]
+
+
+class DefenseGAN:
+    """WGAN + Defense-GAN projection for one dataset config."""
+
+    def __init__(self, cfg: Config, key: Optional[jax.Array] = None):
+        self.cfg = cfg
+        dtype = _dtype_of(cfg.compute_dtype)
+        self.generator = generator_for(cfg.type, cfg.gen_dim, dtype=dtype)
+        self.critic = critic_for(cfg.type, cfg.disc_dim, dtype=dtype)
+        self.gen_tx, self.disc_tx = build_optimizers(
+            cfg.gen_learning_rate, cfg.disc_learning_rate, cfg.beta1,
+            cfg.beta2)
+        key = key if key is not None else jax.random.key(cfg.seed)
+        self.state: GANState = init_gan_state(
+            self.generator, self.critic, key, cfg.image_shape,
+            cfg.latent_dim, self.gen_tx, self.disc_tx)
+        self._train_step = None
+        self._reconstructors: Dict[Tuple, callable] = {}
+        self._sampler = None
+
+    # ------------------------------------------------------------------ gen
+    def gen_apply_tanh(self, z: jnp.ndarray) -> jnp.ndarray:
+        """Frozen generator in inference mode (BN running averages)."""
+        return self.generator.apply(
+            {"params": self.state.gen_params,
+             "batch_stats": self.state.gen_stats}, z, train=False)
+
+    def generate(self, key: jax.Array, n: int) -> jnp.ndarray:
+        """Sample n images in [0, 1] (reference: generate_image)."""
+        if self._sampler is None:
+            @jax.jit
+            def sampler(gen_params, gen_stats, z):
+                out = self.generator.apply(
+                    {"params": gen_params, "batch_stats": gen_stats}, z,
+                    train=False)
+                return to_image_space(out)
+            self._sampler = sampler
+        z = jax.random.normal(key, (n, self.cfg.latent_dim), jnp.float32)
+        return self._sampler(self.state.gen_params, self.state.gen_stats, z)
+
+    # -------------------------------------------------------------- defense
+    def reconstruct(self, x: jnp.ndarray, key: Optional[jax.Array] = None,
+                    *, rec_rr: Optional[int] = None,
+                    rec_iters: Optional[int] = None,
+                    rec_lr: Optional[float] = None,
+                    back_prop: bool = False) -> ReconstructionResult:
+        """Project x (in [0,1]) onto the generator manifold.
+
+        Reference: models/gan.py::reconstruct(x, batch_size, back_prop,
+        reconstructor_id); compiled programs are cached per (shape, R, L, lr,
+        back_prop) — the role reconstructor_id played in TF1.
+        """
+        cfg = self.cfg
+        rr = rec_rr or cfg.rec_rr
+        iters = rec_iters or cfg.rec_iters
+        lr = rec_lr if rec_lr is not None else cfg.rec_lr
+        key = key if key is not None else jax.random.key(cfg.seed + 1)
+        sig = (rr, iters, lr, back_prop)
+        if sig not in self._reconstructors:
+            def run(gen_params, gen_stats, x, z0):
+                def gen_apply(z):
+                    return self.generator.apply(
+                        {"params": gen_params, "batch_stats": gen_stats}, z,
+                        train=False)
+                return reconstruct(gen_apply, x, z0, rec_iters=iters,
+                                   rec_lr=lr, momentum=cfg.rec_momentum,
+                                   back_prop=back_prop)
+            self._reconstructors[sig] = jax.jit(run)
+        z0 = sample_z0(key, x.shape[0], rr, cfg.latent_dim)
+        return self._reconstructors[sig](self.state.gen_params,
+                                         self.state.gen_stats, x, z0)
+
+    # ------------------------------------------------------------- training
+    def _batches(self, images: np.ndarray, key: jax.Array
+                 ) -> Iterator[np.ndarray]:
+        """Yield [disc_iters, B, H, W, C] super-batches forever."""
+        cfg = self.cfg
+        per_cycle = cfg.disc_iters * cfg.batch_size
+        n = images.shape[0]
+        rng = np.random.RandomState(np.asarray(
+            jax.random.key_data(key)).ravel()[-1] % (2**31 - 1))
+        while True:
+            perm = rng.permutation(n)
+            for i in range(0, n - per_cycle + 1, per_cycle):
+                chunk = images[perm[i:i + per_cycle]]
+                yield chunk.reshape((cfg.disc_iters, cfg.batch_size)
+                                    + chunk.shape[1:])
+
+    def train(self, images: np.ndarray, *, mesh=None,
+              train_iters: Optional[int] = None, log_every: int = 100,
+              quiet: bool = False) -> Dict[str, float]:
+        """Train the WGAN (reference: gan.train()).
+
+        images: [N, H, W, C] float32 in [0, 1]. Saves checkpoints + sample
+        grids under cfg.output_dir, plus JSONL metrics (new vs reference).
+        """
+        cfg = self.cfg
+        iters = train_iters if train_iters is not None else cfg.train_iters
+        if self._train_step is None:
+            self._train_step = jax.jit(make_train_step(
+                self.generator, self.critic, self.gen_tx, self.disc_tx,
+                latent_dim=cfg.latent_dim, disc_iters=cfg.disc_iters,
+                gp_lambda=cfg.gp_lambda))
+        if mesh is None and len(jax.devices()) > 1:
+            mesh = make_mesh()
+
+        ensure_dir(cfg.output_dir)
+        save_config(cfg)
+        key = jax.random.key(cfg.seed)
+        key, data_key, sample_key = jax.random.split(key, 3)
+        batches = self._batches(images, data_key)
+        metrics = {}
+        t0 = time.time()
+        state = self.state
+        for it in range(1, iters + 1):
+            key, step_key = jax.random.split(key)
+            batch = jnp.asarray(next(batches))
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+                # shard the [disc_iters, B, ...] super-batch on B, not on
+                # disc_iters: axis 1 is the per-critic-step batch axis
+                batch = jax.device_put(
+                    batch, jax.sharding.NamedSharding(
+                        mesh, jax.sharding.PartitionSpec(None, "data")))
+            state, metrics = self._train_step(state, batch, step_key)
+            if it % log_every == 0 or it == iters:
+                m = {k: float(v) for k, v in metrics.items()}
+                m.update(step=it, wall_s=round(time.time() - t0, 2))
+                append_jsonl(os.path.join(cfg.output_dir, "metrics.jsonl"), m)
+                if not quiet:
+                    print(f"[{cfg.type}] step {it}/{iters} "
+                          f"w={m.get('wasserstein', 0):+.4f} "
+                          f"g={m.get('g_loss', 0):+.4f} "
+                          f"gp={m.get('gp', 0):.4f}")
+            if it % cfg.sample_every == 0 or it == iters:
+                self.state = state
+                grid = self.generate(sample_key, 64)
+                save_images(np.asarray(grid),
+                            os.path.join(cfg.output_dir, "samples",
+                                         f"sample_{it:07d}.png"))
+            if it % cfg.save_every == 0 or it == iters:
+                self.state = state
+                self.save()
+        self.state = state
+        return {k: float(v) for k, v in metrics.items()}
+
+    # ------------------------------------------------------------ ckpt i/o
+    def save(self) -> str:
+        """Checkpoint params/opt-state (reference: base_model.save)."""
+        save_config(self.cfg)
+        return save_checkpoint(self.cfg.output_dir,
+                               int(self.state.step), self.state)
+
+    def load(self, step: Optional[int] = None) -> "DefenseGAN":
+        """Restore the latest (or given) checkpoint (reference: load())."""
+        self.state = restore_checkpoint(self.cfg.output_dir, self.state, step)
+        return self
+
+    def can_load(self) -> bool:
+        return latest_step(self.cfg.output_dir) is not None

@@ -1,0 +1,16 @@
+"""Device mesh + sharding helpers.
+
+The reference (kabkabm/defensegan) is single-process single-GPU with zero
+collectives; this module is new TPU-native machinery: a 1-D `data` mesh over
+ICI, batch sharded across it, params replicated. XLA's GSPMD partitioner
+inserts the gradient psums (see SURVEY.md section 2, parallelism table).
+"""
+
+from defensegan_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]

@@ -1,0 +1,49 @@
+"""1-D data-parallel mesh over TPU chips.
+
+Defense-GAN's workloads (WGAN training, the RxL projection, attack evals) are
+all embarrassingly data-parallel over the batch (and batch x restarts) axis, so
+the mesh is a single `data` axis laid out over ICI. Params are replicated;
+activations/batches are sharded on their leading axis. Gradient reduction in
+training is an XLA-inserted psum over `data` — no hand-written collectives
+(reference has none either; it is single-device, SURVEY.md section 2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """Build a 1-D (data,) mesh over the first n (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None and n_devices > 0:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"requested {n_devices} devices, have {len(devices)}")
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh, ndim: int, axis: int = 0) -> NamedSharding:
+    """Shard dim `axis` of an ndim-array over the data axis."""
+    spec = [None] * ndim
+    spec[axis] = DATA_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a pytree of arrays with leading batch axis onto the mesh."""
+    return jax.tree.map(
+        lambda a: jax.device_put(a, batch_sharding(mesh, a.ndim)), batch)
