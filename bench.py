@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""North-star benchmark: MNIST Defense-GAN reconstructions/sec/chip.
+
+Measures the projection defense (R=10 restarts x L=200 momentum-SGD steps on
+z, argmin-restart selection — reference defaults of kabkabm/defensegan
+models/gan.py::reconstruct) on the real TPU chip with the MNIST generator at
+the shipped config (configs/gans/mnist.yml: latent_dim=128, gen_dim=64,
+bfloat16 compute).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is value / 1000 (the BASELINE.json target of >=1000 recon/s/chip
+on TPU v5e; the reference publishes no throughput numbers at all).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from defensegan_tpu.configs import load_config  # noqa: E402
+from defensegan_tpu.defense import reconstruct, sample_z0  # noqa: E402
+from defensegan_tpu.gan import DefenseGAN  # noqa: E402
+
+BASELINE_TARGET = 1000.0  # recon/s/chip, BASELINE.json rebuild target
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--rec_rr", type=int, default=10)
+    ap.add_argument("--rec_iters", type=int, default=200)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--kernel", choices=["auto", "xla", "pallas"],
+                    default="auto")
+    args = ap.parse_args()
+
+    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "defensegan_tpu", "configs", "gans", "mnist.yml")
+    cfg = load_config(cfg_path, overrides={
+        "rec_rr": args.rec_rr, "rec_iters": args.rec_iters,
+        "output_dir": "output/bench/mnist"})
+    gan = DefenseGAN(cfg)
+    if gan.can_load():
+        gan.load()  # use trained weights when available; random init is
+        # throughput-equivalent (same FLOPs) otherwise
+
+    kernel = args.kernel
+    if kernel == "auto":
+        from defensegan_tpu.kernels import projection_kernel_available
+        kernel = "pallas" if projection_kernel_available() else "xla"
+
+    key = jax.random.key(0)
+    kx, kz = jax.random.split(key)
+    x = jax.random.uniform(kx, (args.batch,) + cfg.image_shape, jnp.float32)
+
+    if kernel == "pallas":
+        from defensegan_tpu.kernels import make_pallas_reconstructor
+        run = make_pallas_reconstructor(gan, rec_rr=cfg.rec_rr,
+                                        rec_iters=cfg.rec_iters,
+                                        rec_lr=cfg.rec_lr,
+                                        momentum=cfg.rec_momentum)
+
+        def bench_fn(x, k):
+            return run(x, k).x_hat
+    else:
+        def bench_fn(x, k):
+            return gan.reconstruct(x, k).x_hat
+
+    # Time with an honest barrier: fetch a scalar reduction of the output to
+    # the host each repeat. (On some PJRT transports Array.block_until_ready
+    # returns at enqueue time; a host fetch always waits for completion.)
+    float(jnp.sum(bench_fn(x, kz)))  # warmup / compile
+
+    times = []
+    for i in range(args.repeats):
+        k = jax.random.fold_in(kz, i)
+        t0 = time.perf_counter()
+        float(jnp.sum(bench_fn(x, k)))
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    value = args.batch / dt
+    print(json.dumps({
+        "metric": "mnist_reconstructions_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": f"recon/s (R={cfg.rec_rr}, L={cfg.rec_iters}, "
+                f"batch={args.batch}, {kernel})",
+        "vs_baseline": round(value / BASELINE_TARGET, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,24 @@
+"""Pure-JAX adversarial attacks.
+
+Reference parity: the cleverhans (~v2.x) attacks used by whitebox.py /
+blackbox.py of kabkabm/defensegan — FastGradientMethod (FGSM), RAND+FGSM,
+CarliniWagnerL2, and the Jacobian-augmentation black-box substitute pipeline.
+All attacks here are jittable, run fully on-device, and accept a
+`logits_fn(x) -> logits` closure; composing `logits_fn` with the defense's
+differentiable reconstruction (back_prop=True) yields the white-box
+attack-through-the-defense of the paper.
+"""
+
+from defensegan_tpu.attacks.fgsm import fgsm, rand_fgsm
+from defensegan_tpu.attacks.cw import CWConfig, carlini_wagner_l2
+from defensegan_tpu.attacks.blackbox import (jacobian_augmentation,
+                                             train_substitute)
+
+__all__ = [
+    "fgsm",
+    "rand_fgsm",
+    "CWConfig",
+    "carlini_wagner_l2",
+    "jacobian_augmentation",
+    "train_substitute",
+]

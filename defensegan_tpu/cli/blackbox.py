@@ -1,0 +1,133 @@
+"""Black-box attack + defense evaluation CLI.
+
+Reference parity: blackbox.py of kabkabm/defensegan (~L50-600), the
+cleverhans mnist_blackbox recipe:
+  python blackbox.py --cfg <dir-or-yml> --bb_model A --sub_model B
+      [--fgsm_eps 0.3] [--data_aug 6] [--lmbda 0.1] [--num_tests N]
+      [--defense_type {none,defense_gan}]
+
+prep_bbox (train the black-box target) -> train_sub (Jacobian-augmentation
+substitute, seeded with 150 held-out test images per the paper) -> FGSM on
+the substitute -> transfer to the target, with and without Defense-GAN
+purification.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from defensegan_tpu.attacks import fgsm, train_substitute
+from defensegan_tpu.cli.common import (add_cfg_args, cfg_from_args, limit,
+                                       load_data, load_gan)
+from defensegan_tpu.eval import model_eval, model_eval_gan, train_classifier
+from defensegan_tpu.models import build_classifier
+from defensegan_tpu.utils.misc import append_jsonl, ensure_dir
+
+HOLDOUT = 150  # substitute seed size (paper / cleverhans tutorial)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_cfg_args(ap)
+    ap.add_argument("--bb_model", default="A", help="black-box target A..F")
+    ap.add_argument("--sub_model", default="B", help="substitute A..F")
+    ap.add_argument("--defense_type", default="defense_gan",
+                    choices=["none", "defense_gan"])
+    ap.add_argument("--fgsm_eps", type=float, default=0.3)
+    ap.add_argument("--data_aug", type=int, default=6,
+                    help="Jacobian augmentation rounds (rho)")
+    ap.add_argument("--lmbda", type=float, default=0.1)
+    ap.add_argument("--num_tests", type=int, default=512)
+    ap.add_argument("--classifier_epochs", type=int, default=10)
+    ap.add_argument("--sub_epochs", type=int, default=10)
+    ap.add_argument("--results_dir", default="output/results")
+    args = ap.parse_args(argv)
+    cfg = cfg_from_args(args)
+
+    ds = load_data(cfg)
+    x_train, y_train = ds.load("train")
+    x_test, y_test = ds.load("test")
+
+    # paper protocol: first HOLDOUT test images seed the substitute; attack
+    # is evaluated on the following num_tests images
+    x_seed = x_test[:HOLDOUT]
+    x_eval, y_eval = limit(x_test[HOLDOUT:], y_test[HOLDOUT:],
+                           args.num_tests)
+
+    key = jax.random.key(cfg.seed + 13)
+    k_bb, k_sub, k_eval = jax.random.split(key, 3)
+
+    # --- prep_bbox: train the black-box target
+    print(f"training black-box target model {args.bb_model} ...")
+    bb_model = build_classifier(args.bb_model, num_classes=cfg.num_classes)
+    bb = train_classifier(bb_model, x_train, y_train, key=k_bb,
+                          epochs=args.classifier_epochs, quiet=False)
+    bb_logits = bb.logits_fn()
+    clean_acc = model_eval(bb_logits, x_eval, y_eval)
+    print(f"target clean accuracy: {clean_acc:.4f}")
+
+    # --- train_sub: Jacobian-augmentation substitute (oracle = target)
+    print(f"training substitute model {args.sub_model} "
+          f"({args.data_aug} augmentation rounds) ...")
+    sub_model = build_classifier(args.sub_model, num_classes=cfg.num_classes)
+    sub, x_sub = train_substitute(sub_model, bb_logits, x_seed, key=k_sub,
+                                  data_aug=args.data_aug, lmbda=args.lmbda,
+                                  epochs_per_round=args.sub_epochs,
+                                  quiet=False)
+    sub_logits = sub.logits_fn()
+    agree = model_eval(sub_logits, x_eval,
+                       np.asarray(jnp.argmax(bb_logits(jnp.asarray(x_eval)),
+                                             -1)))
+    print(f"substitute agreement with target: {agree:.4f} "
+          f"(final sub set {x_sub.shape[0]})")
+
+    # --- FGSM on the substitute, transferred to the target
+    @jax.jit
+    def craft(xb, yb):
+        return fgsm(sub_logits, xb, yb, args.fgsm_eps)
+
+    advs = []
+    bs = 256
+    for i in range(0, x_eval.shape[0], bs):
+        advs.append(np.asarray(craft(jnp.asarray(x_eval[i:i + bs]),
+                                     jnp.asarray(y_eval[i:i + bs]))))
+    x_adv = np.concatenate(advs)
+
+    adv_acc = model_eval(bb_logits, x_adv, y_eval)
+    print(f"target accuracy under transferred FGSM (eps={args.fgsm_eps}), "
+          f"NO defense: {adv_acc:.4f}")
+
+    defended_acc = None
+    if args.defense_type == "defense_gan":
+        gan = load_gan(cfg, require_trained=False)
+        if not gan.can_load():
+            print("WARNING: no trained GAN checkpoint; purifying with "
+                  "current generator weights")
+        defended_acc = model_eval_gan(gan, bb_logits, x_adv, y_eval,
+                                      key=k_eval)
+        print(f"target accuracy under FGSM, Defense-GAN (R={cfg.rec_rr}, "
+              f"L={cfg.rec_iters}): {defended_acc:.4f}")
+
+    ensure_dir(args.results_dir)
+    record = {
+        "script": "blackbox", "dataset": cfg.type,
+        "bb_model": args.bb_model, "sub_model": args.sub_model,
+        "defense": args.defense_type, "fgsm_eps": args.fgsm_eps,
+        "data_aug": args.data_aug, "lmbda": args.lmbda,
+        "num_tests": int(x_eval.shape[0]),
+        "clean_acc": clean_acc, "sub_agreement": agree,
+        "adv_acc_no_defense": adv_acc, "defended_acc": defended_acc,
+    }
+    append_jsonl(os.path.join(args.results_dir, "blackbox.jsonl"), record)
+    print(json.dumps(record))
+    return record
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,64 @@
+"""GAN training / test-mode CLI.
+
+Reference parity: train.py of kabkabm/defensegan —
+  python train.py --cfg experiments/cfgs/gans/mnist.yml --is_train
+trains the WGAN; without --is_train it loads the checkpoint and dumps sample
+grids + test-split reconstructions (the reference's test mode).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from defensegan_tpu.cli.common import (add_cfg_args, cfg_from_args, load_data,
+                                       load_gan)
+from defensegan_tpu.utils.visualize import save_images
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_cfg_args(ap)
+    ap.add_argument("--is_train", action="store_true",
+                    help="train the GAN (otherwise: test mode)")
+    ap.add_argument("--num_recs", type=int, default=16,
+                    help="test mode: how many test images to reconstruct")
+    args = ap.parse_args(argv)
+    cfg = cfg_from_args(args)
+
+    ds = load_data(cfg)
+    if args.is_train:
+        gan = load_gan(cfg)
+        if gan.can_load():
+            print("resuming from checkpoint")
+        x_train, _ = ds.load("train")
+        print(f"training {cfg.type} WGAN-GP on {x_train.shape[0]} images "
+              f"for {cfg.train_iters} generator steps")
+        gan.train(x_train)
+        print(f"done; checkpoints + samples under {cfg.output_dir}")
+        return
+
+    # test mode: sample grid + test reconstructions
+    gan = load_gan(cfg, require_trained=True)
+    key = jax.random.key(cfg.seed + 100)
+    samples = gan.generate(key, 64)
+    path = save_images(np.asarray(samples),
+                       os.path.join(cfg.output_dir, "test_samples.png"))
+    print(f"wrote {path}")
+    x_test, _ = ds.load("test")
+    x = x_test[:args.num_recs]
+    res = gan.reconstruct(jax.numpy.asarray(x), key)
+    pair = np.stack([x, np.asarray(res.x_hat)], axis=1).reshape(
+        (-1,) + x.shape[1:])
+    path = save_images(pair, os.path.join(cfg.output_dir,
+                                          "test_reconstructions.png"),
+                       grid=(args.num_recs, 2))
+    print(f"wrote {path} (rows: original | reconstruction); "
+          f"mean rec loss {float(np.mean(np.asarray(res.loss))):.5f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,216 @@
+"""White-box attack + defense evaluation CLI.
+
+Reference parity: whitebox.py of kabkabm/defensegan (~L60-350):
+  python whitebox.py --cfg <dir-or-yml> --attack_type {fgsm,rand_fgsm,cw}
+      --defense_type {none,defense_gan,adv_tr} --model {A..F}
+      [--num_tests N] [--train_on_recs] [--fgsm_eps 0.3]
+      [--rec_iters/--rec_rr/--rec_lr overrides]
+
+Pipeline (reference call stack, SURVEY.md section 3.3): load trained GAN ->
+build/train classifier -> craft attack (through the differentiable
+reconstruction when defending, back_prop=True) -> purify -> classify ->
+report clean / adversarial / defended accuracies.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from defensegan_tpu.attacks import CWConfig, carlini_wagner_l2, fgsm, rand_fgsm
+from defensegan_tpu.cli.common import (add_cfg_args, cfg_from_args, limit,
+                                       load_data, load_gan)
+from defensegan_tpu.eval import make_logits_fn, model_eval, model_eval_gan, train_classifier
+from defensegan_tpu.models import build_classifier
+from defensegan_tpu.utils.misc import append_jsonl, ensure_dir
+
+
+def get_classifier(cfg, args, gan, x_train, y_train, key):
+    """Train (or load cached) classifier; reference trains per run unless a
+    saved model exists. Supports --train_on_recs and adv_tr."""
+    from defensegan_tpu.ckpt import latest_step, restore_checkpoint, save_checkpoint
+
+    model = build_classifier(args.model, num_classes=cfg.num_classes)
+    tag = f"{cfg.type}_model{args.model}"
+    if args.defense_type == "adv_tr":
+        tag += f"_advtr{args.fgsm_eps}"
+    if args.train_on_recs:
+        tag += "_on_recs"
+    clf_dir = os.path.join("output", "classifiers", tag)
+
+    if latest_step(clf_dir) is not None and not args.retrain_classifier:
+        params0 = model.init(key, jnp.zeros((1,) + cfg.image_shape),
+                             train=False)["params"]
+        params = restore_checkpoint(clf_dir, params0)
+        print(f"loaded classifier {tag}")
+        from defensegan_tpu.eval.classifier import ClassifierState
+        return ClassifierState(params=params, model=model)
+
+    x_fit, y_fit = x_train, y_train
+    if args.train_on_recs:
+        # reference: train the classifier on Defense-GAN reconstructions of
+        # the training set (--train_on_recs / online training variant)
+        n = min(args.num_rec_train, x_train.shape[0])
+        print(f"reconstructing {n} training images for --train_on_recs ...")
+        recs = []
+        bs = 256
+        for i in range(0, n, bs):
+            xb = jnp.asarray(x_train[i:i + bs])
+            res = gan.reconstruct(xb, jax.random.fold_in(key, i))
+            recs.append(np.asarray(res.x_hat))
+        x_fit = np.concatenate(recs)[:n]
+        y_fit = y_train[:n]
+
+    adv_eps = args.fgsm_eps if args.defense_type == "adv_tr" else None
+    print(f"training classifier {tag} on {x_fit.shape[0]} images "
+          f"({args.classifier_epochs} epochs"
+          + (f", FGSM adv training eps={adv_eps}" if adv_eps else "") + ")")
+    state = train_classifier(model, x_fit, y_fit, key=key,
+                             epochs=args.classifier_epochs,
+                             adv_eps=adv_eps, quiet=False)
+    save_checkpoint(clf_dir, 0, state.params)
+    return state
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    add_cfg_args(ap)
+    ap.add_argument("--attack_type", default="fgsm",
+                    choices=["fgsm", "rand_fgsm", "cw", "none"])
+    ap.add_argument("--defense_type", default="defense_gan",
+                    choices=["none", "defense_gan", "adv_tr"])
+    ap.add_argument("--model", default="A", help="classifier A..F")
+    ap.add_argument("--num_tests", type=int, default=512)
+    ap.add_argument("--fgsm_eps", type=float, default=0.3)
+    ap.add_argument("--alpha", type=float, default=0.05,
+                    help="RAND+FGSM random-step size")
+    ap.add_argument("--cw_max_iterations", type=int, default=100)
+    ap.add_argument("--cw_binary_search_steps", type=int, default=4)
+    ap.add_argument("--train_on_recs", action="store_true")
+    ap.add_argument("--num_rec_train", type=int, default=1024)
+    ap.add_argument("--classifier_epochs", type=int, default=10)
+    ap.add_argument("--retrain_classifier", action="store_true")
+    ap.add_argument("--attack_batch", type=int, default=64)
+    ap.add_argument("--attack_rec_iters", type=int, default=None,
+                    help="L used INSIDE the attack graph (defaults to "
+                    "cfg.rec_iters; the paper attacks through the full "
+                    "unrolled loop)")
+    ap.add_argument("--results_dir", default="output/results")
+    args = ap.parse_args(argv)
+    cfg = cfg_from_args(args)
+
+    ds = load_data(cfg)
+    x_train, y_train = ds.load("train")
+    x_test, y_test = ds.load("test")
+    x_test, y_test = limit(x_test, y_test, args.num_tests)
+
+    need_gan = args.defense_type == "defense_gan" or args.train_on_recs
+    gan = load_gan(cfg, require_trained=False)
+    if need_gan and not gan.can_load():
+        print("WARNING: no trained GAN checkpoint found; defense uses "
+              "current (possibly random) generator weights")
+
+    key = jax.random.key(cfg.seed + 7)
+    k_clf, k_att, k_eval = jax.random.split(key, 3)
+    clf = get_classifier(cfg, args, gan, x_train, y_train, k_clf)
+    logits_fn = clf.logits_fn()
+
+    clean_acc = model_eval(logits_fn, x_test, y_test)
+    print(f"clean accuracy ({args.model}): {clean_acc:.4f}")
+
+    # --- attack target: classifier, or classifier o reconstruct (unrolled)
+    attack_rec_iters = args.attack_rec_iters or cfg.rec_iters
+    if args.defense_type == "defense_gan" and args.attack_type != "none":
+        # the attack differentiates through the unrolled projection
+        # (back_prop=True), composed inside the attack's own jit
+        def attack_target(x):
+            def gen_apply(z):
+                return gan.generator.apply(
+                    {"params": gan.state.gen_params,
+                     "batch_stats": gan.state.gen_stats}, z, train=False)
+            from defensegan_tpu.defense import reconstruct, sample_z0
+            z0 = sample_z0(jax.random.fold_in(k_att, 2), x.shape[0],
+                           cfg.rec_rr, cfg.latent_dim)
+            res = reconstruct(gen_apply, x, z0, rec_iters=attack_rec_iters,
+                              rec_lr=cfg.rec_lr, momentum=cfg.rec_momentum,
+                              back_prop=True)
+            return logits_fn(res.x_hat)
+    else:
+        attack_target = logits_fn
+
+    # --- craft adversarial examples in jitted batches
+    t0 = time.time()
+    if args.attack_type == "none":
+        x_adv = x_test.copy()
+    else:
+        if args.attack_type == "fgsm":
+            @jax.jit
+            def craft(xb, yb, k):
+                return fgsm(attack_target, xb, yb, args.fgsm_eps)
+        elif args.attack_type == "rand_fgsm":
+            @jax.jit
+            def craft(xb, yb, k):
+                return rand_fgsm(attack_target, xb, yb, args.fgsm_eps,
+                                 args.alpha, k)
+        else:  # cw
+            cw_cfg = CWConfig(
+                binary_search_steps=args.cw_binary_search_steps,
+                max_iterations=args.cw_max_iterations)
+
+            @jax.jit
+            def craft(xb, yb, k):
+                return carlini_wagner_l2(attack_target, xb, yb, cw_cfg)
+
+        advs = []
+        bs = args.attack_batch
+        n = x_test.shape[0]
+        pad_to = ((n + bs - 1) // bs) * bs
+        xp = np.concatenate([x_test,
+                             np.zeros((pad_to - n,) + x_test.shape[1:],
+                                      x_test.dtype)])
+        yp = np.concatenate([y_test, np.zeros(pad_to - n, y_test.dtype)])
+        for i in range(0, pad_to, bs):
+            advs.append(np.asarray(craft(jnp.asarray(xp[i:i + bs]),
+                                         jnp.asarray(yp[i:i + bs]),
+                                         jax.random.fold_in(k_att, i))))
+        x_adv = np.concatenate(advs)[:n]
+    attack_time = time.time() - t0
+    print(f"crafted {args.attack_type} adversarial examples in "
+          f"{attack_time:.1f}s")
+
+    adv_acc = model_eval(logits_fn, x_adv, y_test)
+    print(f"adversarial accuracy, NO defense: {adv_acc:.4f}")
+
+    defended_acc = None
+    if args.defense_type == "defense_gan":
+        t0 = time.time()
+        defended_acc = model_eval_gan(gan, logits_fn, x_adv, y_test,
+                                      key=k_eval)
+        print(f"adversarial accuracy, Defense-GAN (R={cfg.rec_rr}, "
+              f"L={cfg.rec_iters}): {defended_acc:.4f} "
+              f"[{time.time() - t0:.1f}s]")
+    elif args.defense_type == "adv_tr":
+        defended_acc = adv_acc  # the defense is in the classifier weights
+
+    ensure_dir(args.results_dir)
+    record = {
+        "script": "whitebox", "dataset": cfg.type, "model": args.model,
+        "attack": args.attack_type, "defense": args.defense_type,
+        "fgsm_eps": args.fgsm_eps, "num_tests": int(x_test.shape[0]),
+        "rec_rr": cfg.rec_rr, "rec_iters": cfg.rec_iters,
+        "clean_acc": clean_acc, "adv_acc_no_defense": adv_acc,
+        "defended_acc": defended_acc, "attack_time_s": round(attack_time, 2),
+    }
+    append_jsonl(os.path.join(args.results_dir, "whitebox.jsonl"), record)
+    print(json.dumps(record))
+    return record
+
+
+if __name__ == "__main__":
+    main()

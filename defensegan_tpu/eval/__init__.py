@@ -1,0 +1,18 @@
+"""Classifier training + (defended) accuracy evaluation.
+
+Reference parity: cleverhans model_train / model_eval as used by whitebox.py
+and blackbox.py, plus utils/gan_defense.py::model_eval_gan of
+kabkabm/defensegan.
+"""
+
+from defensegan_tpu.eval.classifier import (ClassifierState, make_logits_fn,
+                                            train_classifier)
+from defensegan_tpu.eval.accuracy import model_eval, model_eval_gan
+
+__all__ = [
+    "ClassifierState",
+    "make_logits_fn",
+    "train_classifier",
+    "model_eval",
+    "model_eval_gan",
+]

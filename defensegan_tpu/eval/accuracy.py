@@ -1,0 +1,75 @@
+"""(Defended) accuracy evaluation.
+
+Reference parity: cleverhans model_eval and
+utils/gan_defense.py::model_eval_gan (~L10-120) of kabkabm/defensegan — the
+latter pushes each test batch through the reconstruction op before the
+classifier. Here purify+classify is one jitted program per batch; only the
+per-batch correct-count scalar returns to the host.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LogitsFn = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+def _batches(n: int, batch_size: int):
+    for i in range(0, n, batch_size):
+        yield i, min(i + batch_size, n)
+
+
+def model_eval(logits_fn: LogitsFn, x: np.ndarray, y: np.ndarray,
+               batch_size: int = 256) -> float:
+    """Plain accuracy (reference: cleverhans model_eval)."""
+
+    @jax.jit
+    def correct_count(xb, yb):
+        return jnp.sum(jnp.argmax(logits_fn(xb), axis=-1) == yb)
+
+    total = 0
+    for lo, hi in _batches(x.shape[0], batch_size):
+        total += int(correct_count(jnp.asarray(x[lo:hi]),
+                                   jnp.asarray(y[lo:hi])))
+    return total / x.shape[0]
+
+
+def model_eval_gan(gan, logits_fn: LogitsFn, x: np.ndarray, y: np.ndarray,
+                   key: Optional[jax.Array] = None, batch_size: int = 256,
+                   rec_rr: Optional[int] = None,
+                   rec_iters: Optional[int] = None) -> float:
+    """Defended accuracy: purify each batch via gan.reconstruct, classify.
+
+    Reference: utils/gan_defense.py::model_eval_gan. The last partial batch
+    is padded to the compiled batch shape (static shapes for XLA) and the
+    padding is excluded from the count.
+    """
+    key = key if key is not None else jax.random.key(0)
+
+    @jax.jit
+    def correct_count(x_hat, yb, valid):
+        pred = jnp.argmax(logits_fn(x_hat), axis=-1)
+        return jnp.sum((pred == yb) & valid)
+
+    total = 0
+    n = x.shape[0]
+    for lo, hi in _batches(n, batch_size):
+        xb = x[lo:hi]
+        yb = y[lo:hi]
+        pad = batch_size - xb.shape[0]
+        valid = np.ones(batch_size, bool)
+        if pad:
+            xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:],
+                                              xb.dtype)])
+            yb = np.concatenate([yb, np.zeros(pad, yb.dtype)])
+            valid[-pad:] = False
+        key, k = jax.random.split(key)
+        res = gan.reconstruct(jnp.asarray(xb), k, rec_rr=rec_rr,
+                              rec_iters=rec_iters)
+        total += int(correct_count(res.x_hat, jnp.asarray(yb),
+                                   jnp.asarray(valid)))
+    return total / n
