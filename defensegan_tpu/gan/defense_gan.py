@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -25,10 +25,10 @@ from defensegan_tpu.configs import Config, save_config
 from defensegan_tpu.defense.project import (ReconstructionResult, reconstruct,
                                             sample_z0)
 from defensegan_tpu.gan.train import (GANState, build_optimizers,
-                                      init_gan_state, make_train_step)
+                                      init_gan_state, make_data_train_step)
 from defensegan_tpu.models import critic_for, generator_for
 from defensegan_tpu.models.generator import to_image_space
-from defensegan_tpu.parallel import make_mesh, shard_batch
+from defensegan_tpu.parallel import make_mesh
 from defensegan_tpu.utils.misc import append_jsonl, ensure_dir
 from defensegan_tpu.utils.visualize import save_images
 
@@ -110,58 +110,45 @@ class DefenseGAN:
                                          self.state.gen_stats, x, z0)
 
     # ------------------------------------------------------------- training
-    def _batches(self, images: np.ndarray, key: jax.Array
-                 ) -> Iterator[np.ndarray]:
-        """Yield [disc_iters, B, H, W, C] super-batches forever."""
-        cfg = self.cfg
-        per_cycle = cfg.disc_iters * cfg.batch_size
-        n = images.shape[0]
-        rng = np.random.RandomState(np.asarray(
-            jax.random.key_data(key)).ravel()[-1] % (2**31 - 1))
-        while True:
-            perm = rng.permutation(n)
-            for i in range(0, n - per_cycle + 1, per_cycle):
-                chunk = images[perm[i:i + per_cycle]]
-                yield chunk.reshape((cfg.disc_iters, cfg.batch_size)
-                                    + chunk.shape[1:])
-
     def train(self, images: np.ndarray, *, mesh=None,
               train_iters: Optional[int] = None, log_every: int = 100,
               quiet: bool = False) -> Dict[str, float]:
         """Train the WGAN (reference: gan.train()).
 
-        images: [N, H, W, C] float32 in [0, 1]. Saves checkpoints + sample
-        grids under cfg.output_dir, plus JSONL metrics (new vs reference).
+        images: [N, H, W, C] float32 in [0, 1]. TPU-first data path: the
+        whole dataset is placed on-device ONCE and minibatches are sampled
+        inside the jitted step — the host sends only a PRNG key per cycle
+        (the reference feeds numpy per sess.run, SURVEY.md section 3.1).
+        Saves checkpoints + sample grids under cfg.output_dir, plus JSONL
+        metrics (new vs reference).
         """
         cfg = self.cfg
         iters = train_iters if train_iters is not None else cfg.train_iters
-        if self._train_step is None:
-            self._train_step = jax.jit(make_train_step(
-                self.generator, self.critic, self.gen_tx, self.disc_tx,
-                latent_dim=cfg.latent_dim, disc_iters=cfg.disc_iters,
-                gp_lambda=cfg.gp_lambda))
         if mesh is None and len(jax.devices()) > 1:
             mesh = make_mesh()
+        if self._train_step is None:
+            step = make_data_train_step(
+                self.generator, self.critic, self.gen_tx, self.disc_tx,
+                latent_dim=cfg.latent_dim, batch_size=cfg.batch_size,
+                disc_iters=cfg.disc_iters, gp_lambda=cfg.gp_lambda)
+            self._train_step = jax.jit(
+                lambda state, data, key: step(state, data, key, mesh=mesh))
 
         ensure_dir(cfg.output_dir)
         save_config(cfg)
         key = jax.random.key(cfg.seed)
-        key, data_key, sample_key = jax.random.split(key, 3)
-        batches = self._batches(images, data_key)
+        key, sample_key = jax.random.split(key)
+        data = jnp.asarray(images, jnp.float32)
+        if mesh is not None:
+            from defensegan_tpu.parallel import replicated_sharding
+            data = jax.device_put(data, replicated_sharding(mesh))
+            self.state = jax.device_put(self.state, replicated_sharding(mesh))
         metrics = {}
         t0 = time.time()
         state = self.state
         for it in range(1, iters + 1):
             key, step_key = jax.random.split(key)
-            batch = jnp.asarray(next(batches))
-            if mesh is not None:
-                batch = shard_batch(mesh, batch)
-                # shard the [disc_iters, B, ...] super-batch on B, not on
-                # disc_iters: axis 1 is the per-critic-step batch axis
-                batch = jax.device_put(
-                    batch, jax.sharding.NamedSharding(
-                        mesh, jax.sharding.PartitionSpec(None, "data")))
-            state, metrics = self._train_step(state, batch, step_key)
+            state, metrics = self._train_step(state, data, step_key)
             if it % log_every == 0 or it == iters:
                 m = {k: float(v) for k, v in metrics.items()}
                 m.update(step=it, wall_s=round(time.time() - t0, 2))

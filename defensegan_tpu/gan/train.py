@@ -163,3 +163,36 @@ def make_train_step(
         return new_state, metrics
 
     return train_step
+
+
+def make_data_train_step(generator: nn.Module, critic: nn.Module,
+                         gen_tx: optax.GradientTransformation,
+                         disc_tx: optax.GradientTransformation, *,
+                         latent_dim: int, batch_size: int,
+                         disc_iters: int = 5, gp_lambda: float = 10.0):
+    """Train step that samples minibatches ON-DEVICE from a resident dataset.
+
+    fn(state, data [N,H,W,C] in [0,1] device-resident, key) -> (state,
+    metrics). Eliminates the per-step host->device batch transfer of the
+    reference's feed_dict loop entirely (SURVEY.md section 3.1): the host
+    sends only a PRNG key per cycle; indices are drawn with replacement
+    inside jit and gathered on-device.
+    """
+    inner = make_train_step(generator, critic, gen_tx, disc_tx,
+                            latent_dim=latent_dim, disc_iters=disc_iters,
+                            gp_lambda=gp_lambda)
+
+    def train_step(state: GANState, data: jnp.ndarray, key: jax.Array,
+                   mesh=None):
+        k_idx, k_step = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (disc_iters, batch_size), 0,
+                                 data.shape[0])
+        real = data[idx]  # [disc_iters, B, H, W, C] gathered on-device
+        if mesh is not None:
+            # DP: pin the per-critic-iter batch axis onto the data mesh axis
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            real = jax.lax.with_sharding_constraint(
+                real, NamedSharding(mesh, P(None, "data")))
+        return inner(state, real, k_step)
+
+    return train_step
