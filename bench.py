@@ -36,7 +36,7 @@ def main():
     ap.add_argument("--rec_rr", type=int, default=10)
     ap.add_argument("--rec_iters", type=int, default=200)
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--kernel", choices=["auto", "xla", "pallas"],
+    ap.add_argument("--kernel", choices=["auto", "xla", "matmul", "pallas"],
                     default="auto")
     args = ap.parse_args()
 
@@ -53,7 +53,7 @@ def main():
     kernel = args.kernel
     if kernel == "auto":
         from defensegan_tpu.kernels import projection_kernel_available
-        kernel = "pallas" if projection_kernel_available() else "xla"
+        kernel = "pallas" if projection_kernel_available() else "matmul"
 
     key = jax.random.key(0)
     kx, kz = jax.random.split(key)
@@ -62,6 +62,15 @@ def main():
     if kernel == "pallas":
         from defensegan_tpu.kernels import make_pallas_reconstructor
         run = make_pallas_reconstructor(gan, rec_rr=cfg.rec_rr,
+                                        rec_iters=cfg.rec_iters,
+                                        rec_lr=cfg.rec_lr,
+                                        momentum=cfg.rec_momentum)
+
+        def bench_fn(x, k):
+            return run(x, k).x_hat
+    elif kernel == "matmul":
+        from defensegan_tpu.kernels import make_matmul_reconstructor
+        run = make_matmul_reconstructor(gan, rec_rr=cfg.rec_rr,
                                         rec_iters=cfg.rec_iters,
                                         rec_lr=cfg.rec_lr,
                                         momentum=cfg.rec_momentum)
