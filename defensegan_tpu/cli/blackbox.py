@@ -104,11 +104,16 @@ def main(argv=None):
           f"NO defense: {adv_acc:.4f}")
 
     defended_acc = None
+    clean_defended_acc = None
     if args.defense_type == "defense_gan":
         gan = load_gan(cfg, require_trained=False)
         if not gan.can_load():
             print("WARNING: no trained GAN checkpoint; purifying with "
                   "current generator weights")
+        clean_defended_acc = model_eval_gan(gan, bb_logits, x_eval, y_eval,
+                                            key=k_eval)
+        print(f"target accuracy on purified CLEAN inputs: "
+              f"{clean_defended_acc:.4f}")
         defended_acc = model_eval_gan(gan, bb_logits, x_adv, y_eval,
                                       key=k_eval)
         print(f"target accuracy under FGSM, Defense-GAN (R={cfg.rec_rr}, "
@@ -122,6 +127,7 @@ def main(argv=None):
         "data_aug": args.data_aug, "lmbda": args.lmbda,
         "num_tests": int(x_eval.shape[0]),
         "clean_acc": clean_acc, "sub_agreement": agree,
+        "clean_defended_acc": clean_defended_acc,
         "adv_acc_no_defense": adv_acc, "defended_acc": defended_acc,
     }
     append_jsonl(os.path.join(args.results_dir, "blackbox.jsonl"), record)

@@ -124,6 +124,15 @@ def main(argv=None):
     clean_acc = model_eval(logits_fn, x_test, y_test)
     print(f"clean accuracy ({args.model}): {clean_acc:.4f}")
 
+    clean_defended_acc = None
+    if args.defense_type == "defense_gan":
+        # paper also reports accuracy on purified CLEAN inputs — the
+        # defense's no-attack cost and the key diagnostic for
+        # classifier-vs-reconstruction domain shift
+        clean_defended_acc = model_eval_gan(gan, logits_fn, x_test, y_test,
+                                            key=k_eval)
+        print(f"clean accuracy through Defense-GAN: {clean_defended_acc:.4f}")
+
     # --- attack target: classifier, or classifier o reconstruct (unrolled)
     attack_rec_iters = args.attack_rec_iters or cfg.rec_iters
     if args.defense_type == "defense_gan" and args.attack_type != "none":
@@ -204,7 +213,8 @@ def main(argv=None):
         "attack": args.attack_type, "defense": args.defense_type,
         "fgsm_eps": args.fgsm_eps, "num_tests": int(x_test.shape[0]),
         "rec_rr": cfg.rec_rr, "rec_iters": cfg.rec_iters,
-        "clean_acc": clean_acc, "adv_acc_no_defense": adv_acc,
+        "clean_acc": clean_acc, "clean_defended_acc": clean_defended_acc,
+        "adv_acc_no_defense": adv_acc,
         "defended_acc": defended_acc, "attack_time_s": round(attack_time, 2),
     }
     append_jsonl(os.path.join(args.results_dir, "whitebox.jsonl"), record)

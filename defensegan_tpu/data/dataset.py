@@ -115,6 +115,33 @@ class FMnist(Mnist):
         super().__init__(data_dir, seed=seed, name="f-mnist")
 
 
+class Digits(Dataset):
+    """sklearn load_digits (REAL 8x8 handwriting, shipped with sklearn)
+    upsampled to 28x28 — the only real image data reachable in a zero-egress
+    environment. Not in the reference; used here to sanity-check the defense
+    on real data when the MNIST IDX files are absent."""
+
+    def __init__(self, data_dir: str = "data", seed: int = 0):
+        super().__init__("digits", data_dir, image_size=28, channels=1,
+                         num_classes=10, seed=seed)
+
+    def _load_real(self, split: str) -> Optional[Arrays]:
+        try:
+            from sklearn.datasets import load_digits
+        except Exception:
+            return None
+        from scipy.ndimage import zoom
+
+        digits = load_digits()
+        images = digits.images.astype(np.float32) / 16.0   # [1797, 8, 8]
+        labels = digits.target.astype(np.int32)
+        images = zoom(images, (1, 3.5, 3.5), order=1)      # -> [1797, 28, 28]
+        images = np.clip(images, 0.0, 1.0)[..., None]
+        lo, hi = {"train": (0, 1300), "dev": (1300, 1500),
+                  "test": (1500, 1797)}[split]
+        return images[lo:hi], labels[lo:hi]
+
+
 class CelebA(Dataset):
     """CelebA 64x64 gender (reference: datasets/celeba.py).
 
@@ -160,11 +187,50 @@ class CelebA(Dataset):
         return np.stack(images), np.asarray(labels, dtype=np.int32)
 
 
+class ImageNet64(Dataset):
+    """ImageNet-64 purifier data (BASELINE.json stretch config).
+
+    Real path: npz shards of the downsampled-ImageNet release
+    (train_data_batch_*.npz with 'data' [N, 64*64*3] uint8 and 'labels')
+    under data_dir/imagenet64/. Falls back to synthetic 64x64 color images
+    with 100 classes.
+    """
+
+    def __init__(self, data_dir: str = "data", seed: int = 0):
+        super().__init__("imagenet64", data_dir, image_size=64, channels=3,
+                         num_classes=100, seed=seed)
+
+    def _load_real(self, split: str) -> Optional[Arrays]:
+        import glob
+
+        pattern = "train_data_batch_*.npz" if split != "test" \
+            else "val_data*.npz"
+        paths = sorted(glob.glob(os.path.join(self.data_dir, pattern)))
+        if not paths:
+            return None
+        xs, ys = [], []
+        for p in paths:
+            with np.load(p) as d:
+                x = d["data"].reshape(-1, 3, 64, 64).transpose(0, 2, 3, 1)
+                xs.append(x.astype(np.float32) / 255.0)
+                ys.append(np.asarray(d["labels"], np.int32) - 1)
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)
+        if split == "dev":
+            return x[-10000:], y[-10000:]
+        if split == "train":
+            return x[:-10000] if x.shape[0] > 10000 else x, \
+                y[:-10000] if x.shape[0] > 10000 else y
+        return x, y
+
+
 _REGISTRY = {
     "mnist": Mnist,
     "f-mnist": FMnist,
     "fmnist": FMnist,
     "celeba": CelebA,
+    "digits": Digits,
+    "imagenet64": ImageNet64,
 }
 
 

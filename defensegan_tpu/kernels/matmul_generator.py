@@ -173,9 +173,11 @@ def apply_packed(packed: PackedGenerator, z: jnp.ndarray) -> jnp.ndarray:
     h = h.reshape(n, packed.base_hw, packed.base_hw, -1)
     for layer in packed.deconvs:
         h = _deconv_mm(h, layer, dtype)
+    # keep the conv in the compute dtype end-to-end: a f32
+    # preferred_element_type here would make the VJP feed a f32 cotangent
+    # into a bf16-kernel conv, which lax.conv rejects
     out = jax.lax.conv_transpose(
         h, packed.out_kernel, strides=(2, 2), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32)
-    out = out + packed.out_bias
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    out = out.astype(jnp.float32) + packed.out_bias
     return jnp.tanh(out).astype(jnp.float32)

@@ -43,8 +43,8 @@ def critic_for(dataset: str, dim: int = 64,
                dtype: jnp.dtype = jnp.float32) -> Critic:
     """Build the per-dataset critic (reference: models/gan.py subclasses)."""
     name = dataset.lower().replace("-", "").replace("_", "")
-    if name in ("mnist", "fmnist", "fashionmnist"):
+    if name in ("mnist", "fmnist", "fashionmnist", "digits"):
         return Critic(channels=(dim, 2 * dim), dtype=dtype)
-    if name == "celeba":
+    if name in ("celeba", "imagenet64"):
         return Critic(channels=(dim, 2 * dim, 4 * dim, 8 * dim), dtype=dtype)
     raise ValueError(f"unknown dataset {dataset!r}")

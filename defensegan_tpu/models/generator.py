@@ -89,10 +89,10 @@ def generator_for(dataset: str, dim: int = 64,
     CelebA:          4 -> 8 -> 16 -> 32 -> 64, 3 channels.
     """
     name = dataset.lower().replace("-", "").replace("_", "")
-    if name in ("mnist", "fmnist", "fashionmnist"):
+    if name in ("mnist", "fmnist", "fashionmnist", "digits"):
         return Generator(base_hw=7, channels=(2 * dim, dim), out_channels=1,
                          dtype=dtype)
-    if name == "celeba":
+    if name in ("celeba", "imagenet64"):
         return Generator(base_hw=4, channels=(8 * dim, 4 * dim, 2 * dim, dim),
                          out_channels=3, dtype=dtype)
     raise ValueError(f"unknown dataset {dataset!r}")

@@ -52,6 +52,21 @@ def test_packed_bf16_close():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-2)
 
 
+def test_packed_bf16_gradient_works():
+    """bf16 compute path must be differentiable (VJP dtype plumbing)."""
+    gen = generator_for("mnist", dim=8)
+    variables = _trained_like_variables(gen, jax.random.key(7))
+    packed = pack_generator(gen, variables, dtype=jnp.bfloat16)
+    z = jax.random.normal(jax.random.key(8), (2, 32))
+    x = jax.random.uniform(jax.random.key(9), (2, 28, 28, 1)) * 2 - 1
+
+    g = jax.jit(jax.grad(lambda z: jnp.mean(
+        jnp.square(apply_packed(packed, z) - x))))(z)
+    assert g.dtype == jnp.float32
+    assert bool(jnp.all(jnp.isfinite(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
 def test_packed_gradient_matches():
     """The defense differentiates w.r.t. z; grads must match too."""
     gen = generator_for("mnist", dim=8)
