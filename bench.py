@@ -53,7 +53,7 @@ def main():
     kernel = args.kernel
     if kernel == "auto":
         from defensegan_tpu.kernels import projection_kernel_available
-        kernel = "pallas" if projection_kernel_available() else "matmul"
+        kernel = "pallas" if projection_kernel_available() else "xla"
 
     key = jax.random.key(0)
     kx, kz = jax.random.split(key)

@@ -58,8 +58,13 @@ def _from_tanh_space(w, cfg: CWConfig):
 
 def carlini_wagner_l2(logits_fn: LogitsFn, x: jnp.ndarray,
                       labels: jnp.ndarray,
-                      cfg: CWConfig = CWConfig()) -> jnp.ndarray:
-    """Untargeted CW-L2. Returns adversarial examples (x where none found)."""
+                      cfg: CWConfig = CWConfig(),
+                      targeted: bool = False) -> jnp.ndarray:
+    """CW-L2. Returns adversarial examples (x where none found).
+
+    labels: true labels (untargeted, default — the paper's setting) or
+    target labels (targeted=True, cleverhans CarliniWagnerL2 y_target).
+    """
     batch = x.shape[0]
     num_classes_probe = logits_fn(x[:1])
     num_classes = num_classes_probe.shape[-1]
@@ -68,16 +73,22 @@ def carlini_wagner_l2(logits_fn: LogitsFn, x: jnp.ndarray,
     w0 = _to_tanh_space(x, cfg)
     sum_axes = tuple(range(1, x.ndim))
 
-    def attack_succeeds(logits):
-        # untargeted: argmax moved away from the true label, with margin
-        z_true = jnp.sum(logits * y_onehot, axis=-1)
+    def _margins(logits):
+        z_lab = jnp.sum(logits * y_onehot, axis=-1)
         z_other = jnp.max(logits - y_onehot * 1e9, axis=-1)
-        return z_other - z_true > cfg.confidence
+        return z_lab, z_other
+
+    def attack_succeeds(logits):
+        z_lab, z_other = _margins(logits)
+        if targeted:   # reach the target label with margin
+            return z_lab - z_other > cfg.confidence
+        return z_other - z_lab > cfg.confidence
 
     def hinge(logits):
-        z_true = jnp.sum(logits * y_onehot, axis=-1)
-        z_other = jnp.max(logits - y_onehot * 1e9, axis=-1)
-        return jnp.maximum(z_true - z_other + cfg.confidence, 0.0)
+        z_lab, z_other = _margins(logits)
+        if targeted:
+            return jnp.maximum(z_other - z_lab + cfg.confidence, 0.0)
+        return jnp.maximum(z_lab - z_other + cfg.confidence, 0.0)
 
     opt = optax.adam(cfg.learning_rate)
 

@@ -93,6 +93,9 @@ def main(argv=None):
     ap.add_argument("--cw_max_iterations", type=int, default=100)
     ap.add_argument("--cw_binary_search_steps", type=int, default=4)
     ap.add_argument("--train_on_recs", action="store_true")
+    ap.add_argument("--online_training", action="store_true",
+                    help="alias kept for reference-CLI parity: train the "
+                    "classifier on reconstructions (same as --train_on_recs)")
     ap.add_argument("--num_rec_train", type=int, default=1024)
     ap.add_argument("--classifier_epochs", type=int, default=10)
     ap.add_argument("--retrain_classifier", action="store_true")
@@ -103,6 +106,8 @@ def main(argv=None):
                     "unrolled loop)")
     ap.add_argument("--results_dir", default="output/results")
     args = ap.parse_args(argv)
+    if args.online_training:
+        args.train_on_recs = True
     cfg = cfg_from_args(args)
 
     ds = load_data(cfg)
