@@ -44,8 +44,9 @@ EPS = 1e-5  # flax BatchNorm epsilon
 # --------------------------------------------------------------------------
 
 class PallasGenPack(NamedTuple):
-    fc_w3: jnp.ndarray    # [z_dim, 49, C0] bf16, BN folded
-    fc_b: jnp.ndarray     # [1, 49, C0] f32
+    fc_w2: jnp.ndarray    # [z_dim, 49*C0] bf16, BN folded
+    fc_w2T: jnp.ndarray   # [49*C0, z_dim] bf16
+    fc_b: jnp.ndarray     # [1, 49*C0] f32
     w1: jnp.ndarray       # [9, C0, 4*C1] bf16, tap-major phase-packed
     w1_allT: jnp.ndarray  # [4*C1, 9*C0] bf16 (block t = w1[t]^T)
     b1: jnp.ndarray       # [1, 1, 4*C1] f32
@@ -85,8 +86,8 @@ def pack_for_pallas(gen: Generator, variables: dict,
     fc_w = params["fc_in"]["kernel"] * np.tile(s, hw * hw)[None, :]
     fc_b = params["fc_in"]["bias"] * np.tile(s, hw * hw) + np.tile(t, hw * hw)
     z_dim = fc_w.shape[0]
-    fc_w3 = fc_w.reshape(z_dim, hw * hw, c0)
-    fc_b3 = fc_b.reshape(1, hw * hw, c0)
+    fc_w2 = fc_w                       # [z, 49*C0]
+    fc_b2 = fc_b.reshape(1, hw * hw * c0)
 
     # layer 1: taps over the 7-grid, output phases (py, px)
     s, t = _bn_fold(params["bn_0"], stats["bn_0"])
@@ -132,15 +133,23 @@ def pack_for_pallas(gen: Generator, variables: dict,
                             aj = (px + aV - px2) // 2
                             w2s[ai + 1, aj + 1, py2, px2, :,
                                 py, px, qy, qx] = k2[dy, dx]
-    # [9][ (py2,px2,c)=4C1, (py,px,qy,qx)=16 ] -> [4C1, 9*16]
+    # [9][ (py2,px2,c)=4C1, (py,px,qy,qx)=16 ] -> [4C1, 9*16], padded to a
+    # lane-aligned 128-multiple column count (Mosaic requires 128-aligned
+    # minor dims on matmul operands reshaped from 3-D)
     w2_taps = w2s.reshape(9, 4 * c1, 16)
     w2_all = np.concatenate([w2_taps[t0] for t0 in range(9)], axis=1)
     w2_allT = np.concatenate([w2_taps[t0].T for t0 in range(9)], axis=0)
+    cols = w2_all.shape[1]                       # 144
+    pad_cols = (-cols) % 128
+    w2_all = np.pad(w2_all, ((0, 0), (0, pad_cols)))
+    w2_allT = np.pad(w2_allT, ((0, pad_cols), (0, 0)))
     b2 = np.full((1, 1, 16), b2_raw, np.float32)
 
     bf = dtype
     return PallasGenPack(
-        fc_w3=jnp.asarray(fc_w3, bf), fc_b=jnp.asarray(fc_b3, jnp.float32),
+        fc_w2=jnp.asarray(fc_w2, bf),
+        fc_w2T=jnp.asarray(fc_w2.T, bf),
+        fc_b=jnp.asarray(fc_b2, jnp.float32),
         w1=jnp.asarray(w1_taps, bf), w1_allT=jnp.asarray(w1_allT, bf),
         b1=jnp.asarray(b1, jnp.float32),
         w2_all=jnp.asarray(w2_all, bf), w2_allT=jnp.asarray(w2_allT, bf),
@@ -193,8 +202,8 @@ def _masks(hw: int, rows: int):
     return masks
 
 
-def _projection_kernel(z0_ref, x_ref, fcw_ref, fcb_ref, w1_ref, w1t_ref,
-                       b1_ref, w2_ref, w2t_ref, b2_ref, zout_ref, *,
+def _projection_kernel(z0_ref, x_ref, fcw_ref, fcwt_ref, fcb_ref, w1_ref,
+                       w1t_ref, b1_ref, w2_ref, w2t_ref, b2_ref, zout_ref, *,
                        rec_iters: int, rec_lr: float, momentum: float,
                        hw: int, c0: int, c1: int, compute_dtype=jnp.bfloat16):
     bf = compute_dtype
@@ -204,25 +213,28 @@ def _projection_kernel(z0_ref, x_ref, fcw_ref, fcb_ref, w1_ref, w1t_ref,
     x = x_ref[:]                       # [T, 49, 16] f32 (tanh space, nested)
     npix = 16 * p2
 
-    dn_fc_fwd = (((1,), (0,)), ((), ()))          # z [T,zd] x fcw [zd,49,C0]
     dn_mm = (((2,), (0,)), ((), ()))              # [T,49,A] x [A,B]
-    dn_fc_bwd = (((1, 2), (1, 2)), ((), ()))      # dh0 [T,49,C0] x fcw
 
     def matmul3(a, b, dn=dn_mm):
         return jax.lax.dot_general(a, b, dimension_numbers=dn,
                                    preferred_element_type=jnp.float32)
 
+    def roll(a, s):
+        # jnp.roll(x, 0) lowers to a zero-size slice, which Mosaic rejects
+        return a if s == 0 else jnp.roll(a, s, axis=1)
+
     def step(_, carry):
         z, v = carry
+        tsz = z.shape[0]
         # ---- forward -----------------------------------------------------
-        h0_pre = jax.lax.dot_general(
-            z.astype(bf), fcw_ref[:], dimension_numbers=dn_fc_fwd,
-            preferred_element_type=jnp.float32) + fcb_ref[:]
-        h0 = jnp.maximum(h0_pre, 0.0).astype(bf)   # [T,49,C0]
+        h0_pre = jnp.dot(z.astype(bf), fcw_ref[:],
+                         preferred_element_type=jnp.float32) + fcb_ref[:]
+        # trailing-dim split [T, 49*C0] -> [T, 49, C0] (row-major view)
+        h0 = jnp.maximum(h0_pre, 0.0).astype(bf).reshape(tsz, p2, c0)
 
         g1 = b1_ref[:]                              # [1,1,4C1] broadcasts
         for t, (s, _, _) in enumerate(taps):
-            shifted = jnp.roll(h0, -s, axis=1)
+            shifted = roll(h0, -s)
             masked = jnp.where(masks[t], shifted, jnp.zeros_like(shifted))
             g1 = g1 + matmul3(masked, w1_ref[t])
         h1 = jnp.maximum(g1, 0.0).astype(bf)        # [T,49,4C1]
@@ -231,7 +243,7 @@ def _projection_kernel(z0_ref, x_ref, fcw_ref, fcb_ref, w1_ref, w1t_ref,
         out = b2_ref[:]
         for t, (s, _, _) in enumerate(taps):
             blk = jax.lax.slice_in_dim(f2, t * 16, (t + 1) * 16, axis=2)
-            shifted = jnp.roll(blk, -s, axis=1)
+            shifted = roll(blk, -s)
             out = out + jnp.where(masks[t], shifted, jnp.zeros_like(shifted))
         g = jnp.tanh(out)                           # [T,49,16] f32
 
@@ -240,22 +252,25 @@ def _projection_kernel(z0_ref, x_ref, fcw_ref, fcb_ref, w1_ref, w1t_ref,
         e_blocks = []
         for t, (s, _, _) in enumerate(taps):
             masked = jnp.where(masks[t], d_o, jnp.zeros_like(d_o))
-            e_blocks.append(jnp.roll(masked, s, axis=1))
-        e2 = jnp.concatenate(e_blocks, axis=2)      # [T,49,144]
+            e_blocks.append(roll(masked, s))
+        pad_cols = w2t_ref.shape[0] - 16 * len(taps)
+        if pad_cols:
+            e_blocks.append(jnp.zeros((tsz, p2, pad_cols), bf))
+        e2 = jnp.concatenate(e_blocks, axis=2)      # [T,49,256] (padded)
         dh1 = matmul3(e2, w2t_ref[:])               # [T,49,4C1] f32
-        dh1 = jnp.where(h1 > 0, dh1, 0.0).astype(bf)
+        # relu masks compare in f32 (bf16 cmpf unsupported on the VPU)
+        dh1 = jnp.where(h1.astype(jnp.float32) > 0, dh1, 0.0).astype(bf)
 
         d_big = matmul3(dh1, w1t_ref[:])            # [T,49,9*C0] f32
         dh0 = jnp.zeros((z.shape[0], p2, c0), jnp.float32)
         for t, (s, _, _) in enumerate(taps):
             blk = jax.lax.slice_in_dim(d_big, t * c0, (t + 1) * c0, axis=2)
             masked = jnp.where(masks[t], blk, jnp.zeros_like(blk))
-            dh0 = dh0 + jnp.roll(masked, s, axis=1)
-        dh0 = jnp.where(h0 > 0, dh0, 0.0).astype(bf)
+            dh0 = dh0 + roll(masked, s)
+        dh0 = jnp.where(h0.astype(jnp.float32) > 0, dh0, 0.0).astype(bf)
 
-        dz = jax.lax.dot_general(dh0, fcw_ref[:],
-                                 dimension_numbers=dn_fc_bwd,
-                                 preferred_element_type=jnp.float32)
+        dz = jnp.dot(dh0.reshape(tsz, p2 * c0), fcwt_ref[:],
+                     preferred_element_type=jnp.float32)
         # ---- momentum update (tf.train.MomentumOptimizer semantics) ------
         v = momentum * v + dz
         z = z - rec_lr * v
@@ -290,7 +305,7 @@ def fused_project_z(pack: PallasGenPack, x_tanh: jnp.ndarray,
     kernel = functools.partial(
         _projection_kernel, rec_iters=rec_iters, rec_lr=rec_lr,
         momentum=momentum, hw=hw, c0=c0, c1=c1,
-        compute_dtype=pack.fc_w3.dtype)
+        compute_dtype=pack.fc_w2.dtype)
 
     grid = (n // tile,)
     full = lambda shape: pl.BlockSpec(  # noqa: E731
@@ -304,7 +319,8 @@ def fused_project_z(pack: PallasGenPack, x_tanh: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, p2, 16), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            full(pack.fc_w3.shape),
+            full(pack.fc_w2.shape),
+            full(pack.fc_w2T.shape),
             full(pack.fc_b.shape),
             full(pack.w1.shape),
             full(pack.w1_allT.shape),
@@ -319,8 +335,8 @@ def fused_project_z(pack: PallasGenPack, x_tanh: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(z0.astype(jnp.float32), x_nested, pack.fc_w3, pack.fc_b, pack.w1,
-      pack.w1_allT, pack.b1, pack.w2_all, pack.w2_allT, pack.b2)
+    )(z0.astype(jnp.float32), x_nested, pack.fc_w2, pack.fc_w2T, pack.fc_b,
+      pack.w1, pack.w1_allT, pack.b1, pack.w2_all, pack.w2_allT, pack.b2)
 
 
 # --------------------------------------------------------------------------
