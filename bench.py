@@ -23,6 +23,10 @@ import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from defensegan_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 from defensegan_tpu.configs import load_config  # noqa: E402
 from defensegan_tpu.defense import reconstruct, sample_z0  # noqa: E402
 from defensegan_tpu.gan import DefenseGAN  # noqa: E402

@@ -16,6 +16,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from defensegan_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+
 import jax
 import jax.numpy as jnp
 

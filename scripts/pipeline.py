@@ -16,6 +16,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from defensegan_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
 from defensegan_tpu.cli import blackbox, train, whitebox  # noqa: E402
 
 CFG_DIR = os.path.join("defensegan_tpu", "configs", "gans")
