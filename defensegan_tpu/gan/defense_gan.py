@@ -94,6 +94,21 @@ class DefenseGAN:
         iters = rec_iters or cfg.rec_iters
         lr = rec_lr if rec_lr is not None else cfg.rec_lr
         key = key if key is not None else jax.random.key(cfg.seed + 1)
+
+        if (cfg.projection_kernel == "pallas" and not back_prop
+                and lr == cfg.rec_lr):
+            from defensegan_tpu.kernels import (make_pallas_reconstructor,
+                                                projection_kernel_available)
+            tile = 32
+            if (projection_kernel_available(self)
+                    and (x.shape[0] * rr) % tile == 0):
+                sig = ("pallas", rr, iters, lr)
+                if sig not in self._reconstructors:
+                    self._reconstructors[sig] = make_pallas_reconstructor(
+                        self, rec_rr=rr, rec_iters=iters, rec_lr=lr,
+                        momentum=cfg.rec_momentum, tile=tile)
+                return self._reconstructors[sig](x, key)
+
         sig = (rr, iters, lr, back_prop)
         if sig not in self._reconstructors:
             def run(gen_params, gen_stats, x, z0):
