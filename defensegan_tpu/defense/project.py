@@ -81,6 +81,7 @@ def reconstruct(
     rec_lr: float = 10.0,
     momentum: float = 0.7,
     back_prop: bool = False,
+    unroll: int = 4,
 ) -> ReconstructionResult:
     """Project x onto the generator manifold (reference: gan.py reconstruct).
 
@@ -94,6 +95,8 @@ def reconstruct(
       back_prop: if True the result is differentiable w.r.t. x (white-box
         attacks differentiate through the unrolled loop); if False gradients
         are stopped, matching the reference's inference graph.
+      unroll: scan unroll factor — lets XLA fuse elementwise work across
+        consecutive GD steps (perf knob; no semantic effect).
 
     Returns:
       ReconstructionResult with x_hat in [0, 1] image space.
@@ -123,7 +126,9 @@ def reconstruct(
         step = jax.checkpoint(step)
 
     v0 = jnp.zeros_like(z_flat)
-    (z_final, _), _ = jax.lax.scan(step, (z_flat, v0), None, length=rec_iters)
+    (z_final, _), _ = jax.lax.scan(step, (z_flat, v0), None,
+                                   length=rec_iters,
+                                   unroll=min(unroll, max(rec_iters, 1)))
 
     losses = _rec_losses(gen_apply, z_final, x_flat).reshape(batch, rr)
     best = jnp.argmin(losses, axis=1)                          # [B]
