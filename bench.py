@@ -36,7 +36,7 @@ BASELINE_TARGET = 1000.0  # recon/s/chip, BASELINE.json rebuild target
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--rec_rr", type=int, default=10)
     ap.add_argument("--rec_iters", type=int, default=200)
     ap.add_argument("--repeats", type=int, default=3)

@@ -81,7 +81,7 @@ def reconstruct(
     rec_lr: float = 10.0,
     momentum: float = 0.7,
     back_prop: bool = False,
-    unroll: int = 4,
+    unroll: int = 8,
 ) -> ReconstructionResult:
     """Project x onto the generator manifold (reference: gan.py reconstruct).
 
