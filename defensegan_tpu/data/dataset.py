@@ -27,18 +27,39 @@ Arrays = Tuple[np.ndarray, np.ndarray]
 _SPLIT_SIZES = {"train": 4096, "dev": 512, "test": 1024}  # synthetic fallback
 
 
+def _parse_idx_bytes(raw: bytes) -> np.ndarray:
+    zero, dtype_code, ndim = struct.unpack(">HBB", raw[:4])
+    if zero != 0:
+        raise ValueError("bad IDX magic")
+    shape = struct.unpack(">" + "I" * ndim, raw[4:4 + 4 * ndim])
+    dtype = {0x08: np.uint8, 0x09: np.int8, 0x0B: np.int16,
+             0x0C: np.int32, 0x0D: np.float32, 0x0E: np.float64}[dtype_code]
+    data = np.frombuffer(raw, dtype=np.dtype(dtype).newbyteorder(">"),
+                         offset=4 + 4 * ndim)
+    return data.reshape(shape)
+
+
 def _read_idx(path: str) -> np.ndarray:
     """Parse an IDX file (optionally .gz), the MNIST wire format."""
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rb") as f:
-        zero, dtype_code, ndim = struct.unpack(">HBB", f.read(4))
-        if zero != 0:
-            raise ValueError(f"{path}: bad IDX magic")
-        shape = struct.unpack(">" + "I" * ndim, f.read(4 * ndim))
-        dtype = {0x08: np.uint8, 0x09: np.int8, 0x0B: np.int16,
-                 0x0C: np.int32, 0x0D: np.float32, 0x0E: np.float64}[dtype_code]
-        data = np.frombuffer(f.read(), dtype=np.dtype(dtype).newbyteorder(">"))
-        return data.reshape(shape)
+        return _parse_idx_bytes(f.read())
+
+
+def _read_idx_images(path: str) -> np.ndarray:
+    """IDX images as float32 [0,1]; uses the native multithreaded loader
+    (data/native) when available, numpy otherwise."""
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "rb") as f:
+        raw = f.read()
+    try:
+        from defensegan_tpu.data.native import parse_idx_u8
+        arr = parse_idx_u8(raw)
+        if arr is not None:
+            return arr
+    except Exception:
+        pass
+    return _parse_idx_bytes(raw).astype(np.float32) / 255.0
 
 
 def _find_idx(data_dir: str, stem: str) -> Optional[str]:
@@ -98,8 +119,7 @@ class Mnist(Dataset):
         lbl_path = _find_idx(self.data_dir, f"{kind}-labels-idx1-ubyte")
         if img_path is None or lbl_path is None:
             return None
-        images = _read_idx(img_path).astype(np.float32) / 255.0
-        images = images.reshape(-1, 28, 28, 1)
+        images = _read_idx_images(img_path).reshape(-1, 28, 28, 1)
         labels = _read_idx(lbl_path).astype(np.int32)
         if split == "train":
             return images[:-5000], labels[:-5000]
