@@ -56,8 +56,9 @@ def main():
 
     kernel = args.kernel
     if kernel == "auto":
-        from defensegan_tpu.kernels import projection_kernel_available
-        kernel = "pallas" if projection_kernel_available() else "xla"
+        # the Pallas fused kernel is numerically validated but currently
+        # slower than the XLA scan (see RESULTS.md); auto stays on xla
+        kernel = "xla"
 
     key = jax.random.key(0)
     kx, kz = jax.random.split(key)
