@@ -48,6 +48,7 @@ class PallasGenPack(NamedTuple):
     fc_w2T: jnp.ndarray   # [49*C0, z_dim] bf16
     fc_b: jnp.ndarray     # [1, 49*C0] f32
     w1: jnp.ndarray       # [9, C0, 4*C1] bf16, tap-major phase-packed
+    w1_all: jnp.ndarray   # [C0, 9*4*C1] bf16 (block t = w1[t])
     w1_allT: jnp.ndarray  # [4*C1, 9*C0] bf16 (block t = w1[t]^T)
     b1: jnp.ndarray       # [1, 1, 4*C1] f32
     w2_all: jnp.ndarray   # [4*C1, 9*16] bf16
@@ -108,6 +109,8 @@ def pack_for_pallas(gen: Generator, variables: dict,
     w1_taps = w1.reshape(9, c0, 4 * c1)
     w1_allT = np.concatenate([w1_taps[t0].T for t0 in range(9)],
                              axis=1)                            # [4C1, 9*C0]
+    w1_all = np.concatenate([w1_taps[t0] for t0 in range(9)],
+                            axis=1)                             # [C0, 9*4C1]
     b1 = np.tile(b1_raw, 4).reshape(1, 1, 4 * c1)
 
     # layer 2 in nested-phase space: h1 cols (py,px,c) -> out cols
@@ -150,7 +153,8 @@ def pack_for_pallas(gen: Generator, variables: dict,
         fc_w2=jnp.asarray(fc_w2, bf),
         fc_w2T=jnp.asarray(fc_w2.T, bf),
         fc_b=jnp.asarray(fc_b2, jnp.float32),
-        w1=jnp.asarray(w1_taps, bf), w1_allT=jnp.asarray(w1_allT, bf),
+        w1=jnp.asarray(w1_taps, bf), w1_all=jnp.asarray(w1_all, bf),
+        w1_allT=jnp.asarray(w1_allT, bf),
         b1=jnp.asarray(b1, jnp.float32),
         w2_all=jnp.asarray(w2_all, bf), w2_allT=jnp.asarray(w2_allT, bf),
         b2=jnp.asarray(b2, jnp.float32),
@@ -205,7 +209,8 @@ def _masks(hw: int, rows: int):
 def _projection_kernel(z0_ref, x_ref, fcw_ref, fcwt_ref, fcb_ref, w1_ref,
                        w1t_ref, b1_ref, w2_ref, w2t_ref, b2_ref, zout_ref, *,
                        rec_iters: int, rec_lr: float, momentum: float,
-                       hw: int, c0: int, c1: int, compute_dtype=jnp.bfloat16):
+                       hw: int, c0: int, c1: int, compute_dtype=jnp.bfloat16,
+                       factored_l1: bool = False):
     bf = compute_dtype
     p2 = hw * hw
     taps = _shift_sets(hw)
@@ -233,10 +238,24 @@ def _projection_kernel(z0_ref, x_ref, fcw_ref, fcwt_ref, fcb_ref, w1_ref,
         h0 = jnp.maximum(h0_pre, 0.0).astype(bf).reshape(tsz, p2, c0)
 
         g1 = b1_ref[:]                              # [1,1,4C1] broadcasts
-        for t, (s, _, _) in enumerate(taps):
-            shifted = roll(h0, -s)
-            masked = jnp.where(masks[t], shifted, jnp.zeros_like(shifted))
-            g1 = g1 + matmul3(masked, w1_ref[t])
+        if factored_l1:
+            # ONE [T*49, C0] @ [C0, 9*4C1] matmul (w1_ref pre-packed as
+            # [C0, 9*4C1] on the host), then 9 roll/mask adds of 4C1-wide
+            # slices (fewer, larger MXU ops; more VPU traffic). Valid since
+            # roll commutes with the column contraction.
+            f1 = matmul3(h0, w1_ref[:])
+            for t, (s, _, _) in enumerate(taps):
+                blk = jax.lax.slice_in_dim(f1, t * 4 * c1, (t + 1) * 4 * c1,
+                                           axis=2)
+                shifted = roll(blk, -s)
+                g1 = g1 + jnp.where(masks[t], shifted,
+                                    jnp.zeros_like(shifted))
+        else:
+            for t, (s, _, _) in enumerate(taps):
+                shifted = roll(h0, -s)
+                masked = jnp.where(masks[t], shifted,
+                                   jnp.zeros_like(shifted))
+                g1 = g1 + matmul3(masked, w1_ref[t])
         h1 = jnp.maximum(g1, 0.0).astype(bf)        # [T,49,4C1]
 
         f2 = matmul3(h1, w2_ref[:])                 # [T,49,144] f32
@@ -285,6 +304,8 @@ def _projection_kernel(z0_ref, x_ref, fcw_ref, fcwt_ref, fcb_ref, w1_ref,
 def fused_project_z(pack: PallasGenPack, x_tanh: jnp.ndarray,
                     z0: jnp.ndarray, *, rec_iters: int, rec_lr: float,
                     momentum: float, tile: int = 32,
+                    factored_l1: bool = False,
+                    vmem_limit_mb: int = 100,
                     interpret: bool = False) -> jnp.ndarray:
     """Run L momentum-SGD steps of min_z ||G(z) - x||^2 fully on-chip.
 
@@ -305,7 +326,8 @@ def fused_project_z(pack: PallasGenPack, x_tanh: jnp.ndarray,
     kernel = functools.partial(
         _projection_kernel, rec_iters=rec_iters, rec_lr=rec_lr,
         momentum=momentum, hw=hw, c0=c0, c1=c1,
-        compute_dtype=pack.fc_w2.dtype)
+        compute_dtype=pack.fc_w2.dtype, factored_l1=factored_l1)
+    w1_arg = pack.w1_all if factored_l1 else pack.w1
 
     grid = (n // tile,)
     full = lambda shape: pl.BlockSpec(  # noqa: E731
@@ -322,7 +344,7 @@ def fused_project_z(pack: PallasGenPack, x_tanh: jnp.ndarray,
             full(pack.fc_w2.shape),
             full(pack.fc_w2T.shape),
             full(pack.fc_b.shape),
-            full(pack.w1.shape),
+            full(w1_arg.shape),
             full(pack.w1_allT.shape),
             full(pack.b1.shape),
             full(pack.w2_all.shape),
@@ -333,10 +355,10 @@ def fused_project_z(pack: PallasGenPack, x_tanh: jnp.ndarray,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, z_dim), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024),
         interpret=interpret,
     )(z0.astype(jnp.float32), x_nested, pack.fc_w2, pack.fc_w2T, pack.fc_b,
-      pack.w1, pack.w1_allT, pack.b1, pack.w2_all, pack.w2_allT, pack.b2)
+      w1_arg, pack.w1_allT, pack.b1, pack.w2_all, pack.w2_allT, pack.b2)
 
 
 # --------------------------------------------------------------------------
@@ -358,7 +380,9 @@ def projection_kernel_available(gan=None) -> bool:
 
 def make_pallas_reconstructor(gan, *, rec_rr: int, rec_iters: int,
                               rec_lr: float, momentum: float,
-                              tile: int = 32, interpret: bool = False):
+                              tile: int = 32, factored_l1: bool = False,
+                              vmem_limit_mb: int = 100,
+                              interpret: bool = False):
     """Jitted f(x, key) -> ReconstructionResult on the fused Pallas loop.
 
     Best-restart selection + final G(z*) run outside the kernel (1 generator
@@ -391,6 +415,8 @@ def make_pallas_reconstructor(gan, *, rec_rr: int, rec_iters: int,
                                   z0.reshape(batch * rec_rr, z_dim),
                                   rec_iters=rec_iters, rec_lr=rec_lr,
                                   momentum=momentum, tile=tile,
+                                  factored_l1=factored_l1,
+                                  vmem_limit_mb=vmem_limit_mb,
                                   interpret=interpret)
         g_final = gen_apply(z_final)
         d = (g_final - x_flat).astype(jnp.float32)

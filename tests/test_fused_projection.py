@@ -71,6 +71,19 @@ def test_fused_projection_matches_xla_path_f32():
                                atol=2e-3)
 
 
+def test_factored_l1_variant_matches_tap_loop():
+    """factored_l1=True computes the identical function (interpret, f32)."""
+    gen, variables = _gen_and_vars(seed=6)
+    pack = pack_for_pallas(gen, variables, dtype=jnp.float32)
+    x = jax.random.uniform(jax.random.key(7), (4, 28, 28, 1)) * 2 - 1
+    z0 = jax.random.normal(jax.random.key(8), (4, Z))
+    kw = dict(rec_iters=6, rec_lr=1.0, momentum=0.7, tile=4, interpret=True)
+    z_tap = fused_project_z(pack, x, z0, factored_l1=False, **kw)
+    z_fac = fused_project_z(pack, x, z0, factored_l1=True, **kw)
+    np.testing.assert_allclose(np.asarray(z_fac), np.asarray(z_tap),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_fused_projection_bf16_converges():
     """bf16 pack: same qualitative behavior (loss decreases over steps)."""
     gen, variables = _gen_and_vars(seed=3)
