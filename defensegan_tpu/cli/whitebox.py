@@ -105,6 +105,9 @@ def main(argv=None):
                     "cfg.rec_iters; the paper attacks through the full "
                     "unrolled loop)")
     ap.add_argument("--results_dir", default="output/results")
+    ap.add_argument("--save_images", action="store_true",
+                    help="dump original|adversarial|purified grids into "
+                    "results_dir (reference: utils/visualize.py dumps)")
     args = ap.parse_args(argv)
     if args.online_training:
         args.train_on_recs = True
@@ -200,6 +203,21 @@ def main(argv=None):
 
     adv_acc = model_eval(logits_fn, x_adv, y_test)
     print(f"adversarial accuracy, NO defense: {adv_acc:.4f}")
+
+    if args.save_images and args.defense_type == "defense_gan":
+        from defensegan_tpu.utils.visualize import save_images
+
+        n_show = min(16, x_test.shape[0])
+        res = gan.reconstruct(jnp.asarray(x_adv[:n_show]),
+                              jax.random.fold_in(k_eval, 99))
+        trio = np.stack([x_test[:n_show], x_adv[:n_show],
+                         np.asarray(res.x_hat)], 1)
+        path = save_images(trio.reshape((-1,) + x_test.shape[1:]),
+                           os.path.join(args.results_dir,
+                                        f"whitebox_{cfg.type}_"
+                                        f"{args.attack_type}.png"),
+                           grid=(n_show, 3))
+        print(f"wrote {path} (rows: original | adversarial | purified)")
 
     defended_acc = None
     if args.defense_type == "defense_gan":
