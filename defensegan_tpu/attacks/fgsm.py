@@ -12,7 +12,7 @@ full unrolled projection (the paper's strongest white-box setting).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ import numpy as np
 from defensegan_tpu.attacks import CWConfig, carlini_wagner_l2, fgsm, rand_fgsm
 from defensegan_tpu.cli.common import (add_cfg_args, cfg_from_args, limit,
                                        load_data, load_gan)
-from defensegan_tpu.eval import make_logits_fn, model_eval, model_eval_gan, train_classifier
+from defensegan_tpu.eval import model_eval, model_eval_gan, train_classifier
 from defensegan_tpu.models import build_classifier
 from defensegan_tpu.utils.misc import append_jsonl, ensure_dir
 
@@ -104,6 +104,12 @@ def main(argv=None):
                     help="L used INSIDE the attack graph (defaults to "
                     "cfg.rec_iters; the paper attacks through the full "
                     "unrolled loop)")
+    ap.add_argument("--attack_through_defense", default="yes",
+                    choices=["yes", "no"],
+                    help="yes: attacker differentiates through the unrolled "
+                    "reconstruction (paper's strongest white-box); no: "
+                    "attack crafted on the bare classifier, defense applied "
+                    "only at eval (attacker unaware of the defense)")
     ap.add_argument("--results_dir", default="output/results")
     ap.add_argument("--save_images", action="store_true",
                     help="dump original|adversarial|purified grids into "
@@ -143,7 +149,8 @@ def main(argv=None):
 
     # --- attack target: classifier, or classifier o reconstruct (unrolled)
     attack_rec_iters = args.attack_rec_iters or cfg.rec_iters
-    if args.defense_type == "defense_gan" and args.attack_type != "none":
+    if (args.defense_type == "defense_gan" and args.attack_type != "none"
+            and args.attack_through_defense == "yes"):
         # the attack differentiates through the unrolled projection
         # (back_prop=True), composed inside the attack's own jit
         def attack_target(x):
@@ -236,6 +243,7 @@ def main(argv=None):
         "attack": args.attack_type, "defense": args.defense_type,
         "fgsm_eps": args.fgsm_eps, "num_tests": int(x_test.shape[0]),
         "rec_rr": cfg.rec_rr, "rec_iters": cfg.rec_iters,
+        "attack_through_defense": args.attack_through_defense,
         "clean_acc": clean_acc, "clean_defended_acc": clean_defended_acc,
         "adv_acc_no_defense": adv_acc,
         "defended_acc": defended_acc, "attack_time_s": round(attack_time, 2),

@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 import urllib.error
 import urllib.request
-from typing import Dict, Iterable
+from typing import Dict
 
 from defensegan_tpu.utils.misc import ensure_dir
 

@@ -31,7 +31,6 @@ generator's tanh space happens inside.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple
 
 import jax

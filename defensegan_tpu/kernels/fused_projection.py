@@ -390,7 +390,6 @@ def make_pallas_reconstructor(gan, *, rec_rr: int, rec_iters: int,
     """
     from defensegan_tpu.defense.project import (ReconstructionResult,
                                                 sample_z0)
-    from defensegan_tpu.kernels.matmul_generator import apply_packed
     from defensegan_tpu.models.generator import (from_image_space,
                                                  to_image_space)
 
