@@ -127,7 +127,8 @@ class DefenseGAN:
     # ------------------------------------------------------------- training
     def train(self, images: np.ndarray, *, mesh=None,
               train_iters: Optional[int] = None, log_every: int = 100,
-              quiet: bool = False) -> Dict[str, float]:
+              quiet: bool = False,
+              on_divergence: str = "restore") -> Dict[str, float]:
         """Train the WGAN (reference: gan.train()).
 
         images: [N, H, W, C] float32 in [0, 1]. TPU-first data path: the
@@ -136,6 +137,11 @@ class DefenseGAN:
         (the reference feeds numpy per sess.run, SURVEY.md section 3.1).
         Saves checkpoints + sample grids under cfg.output_dir, plus JSONL
         metrics (new vs reference).
+
+        on_divergence (failure detection — the reference has none,
+        SURVEY.md section 5): when a logged metric goes non-finite,
+        "restore" reloads the latest checkpoint and continues with a fresh
+        RNG stream; "raise" raises RuntimeError.
         """
         cfg = self.cfg
         iters = train_iters if train_iters is not None else cfg.train_iters
@@ -166,6 +172,17 @@ class DefenseGAN:
             state, metrics = self._train_step(state, data, step_key)
             if it % log_every == 0 or it == iters:
                 m = {k: float(v) for k, v in metrics.items()}
+                if not all(np.isfinite(v) for v in m.values()):
+                    if on_divergence == "restore" and latest_step(
+                            cfg.output_dir) is not None:
+                        print(f"[{cfg.type}] step {it}: non-finite metrics "
+                              f"{m}; restoring latest checkpoint")
+                        state = restore_checkpoint(cfg.output_dir,
+                                                   self.state)
+                        key = jax.random.fold_in(key, it)
+                        continue
+                    raise RuntimeError(
+                        f"training diverged at step {it}: {m}")
                 m.update(step=it, wall_s=round(time.time() - t0, 2))
                 append_jsonl(os.path.join(cfg.output_dir, "metrics.jsonl"), m)
                 if not quiet:
