@@ -36,6 +36,9 @@ BASELINE_TARGET = 1000.0  # recon/s/chip, BASELINE.json rebuild target
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default=None,
+                    help="config YAML or trained-run dir (default: the "
+                    "shipped MNIST deep config)")
     ap.add_argument("--batch", type=int, default=2048)
     ap.add_argument("--rec_rr", type=int, default=10)
     ap.add_argument("--rec_iters", type=int, default=200)
@@ -44,11 +47,13 @@ def main():
                     default="auto")
     args = ap.parse_args()
 
-    cfg_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "defensegan_tpu", "configs", "gans", "mnist.yml")
-    cfg = load_config(cfg_path, overrides={
-        "rec_rr": args.rec_rr, "rec_iters": args.rec_iters,
-        "output_dir": "output/bench/mnist"})
+    cfg_path = args.cfg or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "defensegan_tpu", "configs", "gans", "mnist.yml")
+    overrides = {"rec_rr": args.rec_rr, "rec_iters": args.rec_iters}
+    if args.cfg is None:
+        overrides["output_dir"] = "output/gans/mnist"
+    cfg = load_config(cfg_path, overrides)
     gan = DefenseGAN(cfg)
     if gan.can_load():
         gan.load()  # use trained weights when available; random init is

@@ -30,6 +30,7 @@ class Config:
     num_classes: int = 10            # NUM_CLASSES
     latent_dim: int = 128            # LATENT_DIM (z dimension)
     gen_dim: int = 64                # GEN_DIM (generator width multiplier)
+    gen_arch: str = "deep"           # GEN_ARCH: deep | wide (see generator_for)
     disc_dim: int = 64               # DISC_DIM (critic width multiplier)
 
     # --- WGAN-GP training (canonical values from arXiv:1704.00028) ---

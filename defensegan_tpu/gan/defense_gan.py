@@ -44,7 +44,8 @@ class DefenseGAN:
     def __init__(self, cfg: Config, key: Optional[jax.Array] = None):
         self.cfg = cfg
         dtype = _dtype_of(cfg.compute_dtype)
-        self.generator = generator_for(cfg.type, cfg.gen_dim, dtype=dtype)
+        self.generator = generator_for(cfg.type, cfg.gen_dim, dtype=dtype,
+                                       arch=cfg.gen_arch)
         self.critic = critic_for(cfg.type, cfg.disc_dim, dtype=dtype)
         self.gen_tx, self.disc_tx = build_optimizers(
             cfg.gen_learning_rate, cfg.disc_learning_rate, cfg.beta1,

@@ -46,6 +46,16 @@ def test_classifier_zoo(name):
     assert logits_t.shape == (2, 10)
 
 
+@pytest.mark.parametrize("dataset,hw,c", [("mnist", 28, 1), ("celeba", 64, 3)])
+def test_wide_generator_arch(dataset, hw, c):
+    gen = generator_for(dataset, dim=16, arch="wide")
+    assert gen.output_hw == hw
+    z = jnp.zeros((2, 64))
+    variables = gen.init(jax.random.key(0), z, train=True)
+    out = gen.apply(variables, z, train=False)
+    assert out.shape == (2, hw, hw, c)
+
+
 def test_generator_bfloat16_compute():
     gen = generator_for("mnist", dim=8, dtype=jnp.bfloat16)
     z = jnp.zeros((2, 128))
