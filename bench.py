@@ -38,8 +38,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cfg", default=None,
                     help="config YAML or trained-run dir (default: the "
-                    "shipped MNIST deep config)")
-    ap.add_argument("--batch", type=int, default=2048)
+                    "shipped MNIST fast config, mnist_fast.yml; use "
+                    "configs/gans/mnist.yml for the reference-depth "
+                    "generator)")
+    ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--rec_rr", type=int, default=10)
     ap.add_argument("--rec_iters", type=int, default=200)
     ap.add_argument("--repeats", type=int, default=3)
@@ -49,10 +51,8 @@ def main():
 
     cfg_path = args.cfg or os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
-        "defensegan_tpu", "configs", "gans", "mnist.yml")
+        "defensegan_tpu", "configs", "gans", "mnist_fast.yml")
     overrides = {"rec_rr": args.rec_rr, "rec_iters": args.rec_iters}
-    if args.cfg is None:
-        overrides["output_dir"] = "output/gans/mnist"
     cfg = load_config(cfg_path, overrides)
     gan = DefenseGAN(cfg)
     if gan.can_load():
