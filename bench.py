@@ -108,7 +108,8 @@ def main():
         "metric": "mnist_reconstructions_per_sec_per_chip",
         "value": round(value, 2),
         "unit": f"recon/s (R={cfg.rec_rr}, L={cfg.rec_iters}, "
-                f"batch={args.batch}, {kernel})",
+                f"batch={args.batch}, {kernel}, gen={cfg.gen_arch}/"
+                f"dim{cfg.gen_dim})",
         "vs_baseline": round(value / BASELINE_TARGET, 4),
     }))
 
