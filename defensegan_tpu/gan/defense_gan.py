@@ -201,6 +201,10 @@ class DefenseGAN:
                 self.state = state
                 self.save()
         self.state = state
+        # pallas reconstructors capture packed weights at build time —
+        # invalidate them now that the generator changed (the XLA ones take
+        # params as arguments and could stay, but a full clear is cheap)
+        self._reconstructors.clear()
         return {k: float(v) for k, v in metrics.items()}
 
     # ------------------------------------------------------------ ckpt i/o
@@ -213,6 +217,7 @@ class DefenseGAN:
     def load(self, step: Optional[int] = None) -> "DefenseGAN":
         """Restore the latest (or given) checkpoint (reference: load())."""
         self.state = restore_checkpoint(self.cfg.output_dir, self.state, step)
+        self._reconstructors.clear()  # drop weight-capturing caches
         return self
 
     def can_load(self) -> bool:
