@@ -41,3 +41,13 @@ def test_train_testmode_whitebox_end_to_end(tmp_path, monkeypatch):
     assert 0.0 <= rec["defended_acc"] <= 1.0
     lines = open(tmp_path / "results" / "whitebox.jsonl").read().splitlines()
     assert json.loads(lines[-1])["attack"] == "fgsm"
+
+    # defense-unaware attacker path (attack crafted on the bare classifier)
+    rec2 = whitebox.main([
+        "--cfg", out, "--attack_type", "fgsm", "--defense_type",
+        "defense_gan", "--model", "E", "--num_tests", "16",
+        "--classifier_epochs", "1", "--attack_through_defense", "no",
+        "--attack_batch", "16", "--rec_rr", "2", "--rec_iters", "5",
+        "--results_dir", str(tmp_path / "results")])
+    assert rec2["attack_through_defense"] == "no"
+    assert 0.0 <= rec2["defended_acc"] <= 1.0
