@@ -74,6 +74,8 @@ def train_substitute(sub_model: nn.Module, oracle_fn: LogitsFn,
                                  learning_rate=learning_rate, quiet=quiet)
         if rho == data_aug - 1:
             break
+        if x_sub.shape[0] >= max_set_size:
+            continue  # cap reached: keep refining on oracle labels only
         if 2 * x_sub.shape[0] > max_set_size:
             # cleverhans caps growth by augmenting a random subset
             sel = np.random.RandomState(rho).choice(
