@@ -49,6 +49,7 @@ class Config:
     rec_rr: int = 10                 # REC_RR (R random restarts)
     rec_lr: float = 10.0             # REC_LR
     rec_momentum: float = 0.7        # REC_MOMENTUM
+    rec_unroll: int = 8              # REC_UNROLL (XLA scan unroll, perf-only)
 
     # --- compute ---
     compute_dtype: str = "bfloat16"  # COMPUTE_DTYPE: float32 | bfloat16

@@ -119,7 +119,8 @@ class DefenseGAN:
                         train=False)
                 return reconstruct(gen_apply, x, z0, rec_iters=iters,
                                    rec_lr=lr, momentum=cfg.rec_momentum,
-                                   back_prop=back_prop)
+                                   back_prop=back_prop,
+                                   unroll=cfg.rec_unroll)
             self._reconstructors[sig] = jax.jit(run)
         z0 = sample_z0(key, x.shape[0], rr, cfg.latent_dim)
         return self._reconstructors[sig](self.state.gen_params,
