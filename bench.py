@@ -3,13 +3,20 @@
 
 Measures the projection defense (R=10 restarts x L=200 momentum-SGD steps on
 z, argmin-restart selection — reference defaults of kabkabm/defensegan
-models/gan.py::reconstruct) on the real TPU chip with the MNIST generator at
-the shipped config (configs/gans/mnist.yml: latent_dim=128, gen_dim=64,
-bfloat16 compute).
+models/gan.py::reconstruct) on the real TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
-vs_baseline is value / 1000 (the BASELINE.json target of >=1000 recon/s/chip
-on TPU v5e; the reference publishes no throughput numbers at all).
+Default --cfg is configs/gans/mnist_fast.yml — the TPU-first flagship
+generator (GEN_ARCH=wide, GEN_DIM=16; validated defense-quality-equivalent
+to the deep reference topology, see RESULTS.md). Pass
+--cfg defensegan_tpu/configs/gans/mnist.yml for the reference-depth
+generator (latent_dim=128, gen_dim=64, 3-deconv DCGAN stack); the JSON
+output names the generator in gen_arch/gen_dim so the two are never
+conflated.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "gen_arch",
+"gen_dim", "kernel"} where vs_baseline is value / 1000 (the BASELINE.json
+target of >=1000 recon/s/chip on TPU v5e; the reference publishes no
+throughput numbers at all).
 """
 
 import argparse
@@ -111,6 +118,9 @@ def main():
                 f"batch={args.batch}, {kernel}, gen={cfg.gen_arch}/"
                 f"dim{cfg.gen_dim})",
         "vs_baseline": round(value / BASELINE_TARGET, 4),
+        "gen_arch": cfg.gen_arch,
+        "gen_dim": cfg.gen_dim,
+        "kernel": kernel,
     }))
 
 

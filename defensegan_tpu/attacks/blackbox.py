@@ -55,9 +55,16 @@ def train_substitute(sub_model: nn.Module, oracle_fn: LogitsFn,
                      data_aug: int = 6, lmbda: float = 0.1,
                      epochs_per_round: int = 10, batch_size: int = 128,
                      learning_rate: float = 1e-3, max_set_size: int = 12800,
+                     persistent: bool = True,
                      quiet: bool = True) -> Tuple[ClassifierState, np.ndarray]:
     """The train_sub loop of blackbox.py: rho rounds of oracle-label,
-    train, Jacobian-augment. Returns (substitute state, final sub set)."""
+    train, Jacobian-augment. Returns (substitute state, final sub set).
+
+    persistent=True matches the reference/cleverhans train_sub, which keeps
+    the SAME substitute variables across the rho rounds (each round continues
+    training on the grown set). persistent=False retrains from scratch every
+    round (kept as an ablation flag).
+    """
 
     @jax.jit
     def oracle_labels_of(xb):
@@ -68,10 +75,12 @@ def train_substitute(sub_model: nn.Module, oracle_fn: LogitsFn,
     for rho in range(data_aug):
         key, k_train = jax.random.split(key)
         y_sub = np.asarray(oracle_labels_of(jnp.asarray(x_sub)))
+        params0 = state.params if (persistent and state is not None) else None
         state = train_classifier(sub_model, x_sub, y_sub, key=k_train,
                                  epochs=epochs_per_round,
                                  batch_size=batch_size,
-                                 learning_rate=learning_rate, quiet=quiet)
+                                 learning_rate=learning_rate, params=params0,
+                                 quiet=quiet)
         if rho == data_aug - 1:
             break
         if x_sub.shape[0] >= max_set_size:

@@ -46,6 +46,10 @@ def rand_fgsm(logits_fn: LogitsFn, x: jnp.ndarray, labels: jnp.ndarray,
               clip_min: float = 0.0, clip_max: float = 1.0) -> jnp.ndarray:
     """RAND+FGSM (paper section 4): random step alpha, then FGSM with
     eps - alpha (defeats gradient masking at the decision boundary)."""
+    if alpha >= eps:
+        raise ValueError(
+            f"rand_fgsm needs alpha < eps (got alpha={alpha}, eps={eps}); "
+            f"eps - alpha would be a non-positive FGSM step")
     noise = jax.random.normal(key, x.shape, x.dtype)
     x_rand = jnp.clip(x + alpha * jnp.sign(noise), clip_min, clip_max)
     return fgsm(logits_fn, x_rand, labels, eps - alpha, clip_min, clip_max)

@@ -38,7 +38,10 @@ def main(argv=None):
     ap.add_argument("--bb_model", default="A", help="black-box target A..F")
     ap.add_argument("--sub_model", default="B", help="substitute A..F")
     ap.add_argument("--defense_type", default="defense_gan",
-                    choices=["none", "defense_gan"])
+                    choices=["none", "defense_gan", "adv_tr"],
+                    help="adv_tr: target is FGSM-adversarially trained "
+                    "(reference's adversarial-training baseline), no "
+                    "purification")
     ap.add_argument("--fgsm_eps", type=float, default=0.3)
     ap.add_argument("--data_aug", type=int, default=6,
                     help="Jacobian augmentation rounds (rho)")
@@ -46,6 +49,14 @@ def main(argv=None):
     ap.add_argument("--num_tests", type=int, default=512)
     ap.add_argument("--classifier_epochs", type=int, default=10)
     ap.add_argument("--sub_epochs", type=int, default=10)
+    ap.add_argument("--sub_from_scratch", action="store_true",
+                    help="ablation: retrain the substitute from scratch "
+                    "every augmentation round (reference/cleverhans keeps "
+                    "the same variables across rounds — the default here)")
+    ap.add_argument("--train_on_recs", action="store_true",
+                    help="train the target on Defense-GAN reconstructions "
+                    "of the training set (reference --train_on_recs)")
+    ap.add_argument("--num_rec_train", type=int, default=1024)
     ap.add_argument("--results_dir", default="output/results")
     args = ap.parse_args(argv)
     cfg = cfg_from_args(args)
@@ -63,11 +74,32 @@ def main(argv=None):
     key = jax.random.key(cfg.seed + 13)
     k_bb, k_sub, k_eval = jax.random.split(key, 3)
 
+    gan = None
+    if args.defense_type == "defense_gan" or args.train_on_recs:
+        gan = load_gan(cfg, require_trained=False)
+        if not gan.can_load():
+            print("WARNING: no trained GAN checkpoint; purifying with "
+                  "current generator weights")
+
     # --- prep_bbox: train the black-box target
-    print(f"training black-box target model {args.bb_model} ...")
+    x_fit, y_fit = x_train, y_train
+    if args.train_on_recs:
+        n = min(args.num_rec_train, x_train.shape[0])
+        print(f"reconstructing {n} training images for --train_on_recs ...")
+        recs = []
+        for i in range(0, n, 256):
+            xb = jnp.asarray(x_train[i:i + 256])
+            res = gan.reconstruct(xb, jax.random.fold_in(k_bb, i))
+            recs.append(np.asarray(res.x_hat))
+        x_fit, y_fit = np.concatenate(recs)[:n], y_train[:n]
+    adv_eps = args.fgsm_eps if args.defense_type == "adv_tr" else None
+    print(f"training black-box target model {args.bb_model}"
+          + (f" (FGSM adv training eps={adv_eps})" if adv_eps else "")
+          + " ...")
     bb_model = build_classifier(args.bb_model, num_classes=cfg.num_classes)
-    bb = train_classifier(bb_model, x_train, y_train, key=k_bb,
-                          epochs=args.classifier_epochs, quiet=False)
+    bb = train_classifier(bb_model, x_fit, y_fit, key=k_bb,
+                          epochs=args.classifier_epochs, adv_eps=adv_eps,
+                          quiet=False)
     bb_logits = bb.logits_fn()
     clean_acc = model_eval(bb_logits, x_eval, y_eval)
     print(f"target clean accuracy: {clean_acc:.4f}")
@@ -79,6 +111,7 @@ def main(argv=None):
     sub, x_sub = train_substitute(sub_model, bb_logits, x_seed, key=k_sub,
                                   data_aug=args.data_aug, lmbda=args.lmbda,
                                   epochs_per_round=args.sub_epochs,
+                                  persistent=not args.sub_from_scratch,
                                   quiet=False)
     sub_logits = sub.logits_fn()
     agree = model_eval(sub_logits, x_eval,
@@ -105,11 +138,9 @@ def main(argv=None):
 
     defended_acc = None
     clean_defended_acc = None
+    if args.defense_type == "adv_tr":
+        defended_acc = adv_acc  # the defense is in the classifier weights
     if args.defense_type == "defense_gan":
-        gan = load_gan(cfg, require_trained=False)
-        if not gan.can_load():
-            print("WARNING: no trained GAN checkpoint; purifying with "
-                  "current generator weights")
         clean_defended_acc = model_eval_gan(gan, bb_logits, x_eval, y_eval,
                                             key=k_eval)
         print(f"target accuracy on purified CLEAN inputs: "
@@ -125,6 +156,8 @@ def main(argv=None):
         "bb_model": args.bb_model, "sub_model": args.sub_model,
         "defense": args.defense_type, "fgsm_eps": args.fgsm_eps,
         "data_aug": args.data_aug, "lmbda": args.lmbda,
+        "train_on_recs": args.train_on_recs,
+        "sub_from_scratch": args.sub_from_scratch,
         "num_tests": int(x_eval.shape[0]),
         "clean_acc": clean_acc, "sub_agreement": agree,
         "clean_defended_acc": clean_defended_acc,

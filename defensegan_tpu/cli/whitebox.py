@@ -115,6 +115,10 @@ def main(argv=None):
                     help="dump original|adversarial|purified grids into "
                     "results_dir (reference: utils/visualize.py dumps)")
     args = ap.parse_args(argv)
+    if args.attack_type == "rand_fgsm" and args.alpha >= args.fgsm_eps:
+        ap.error(f"--alpha ({args.alpha}) must be < --fgsm_eps "
+                 f"({args.fgsm_eps}) for rand_fgsm (the FGSM step is "
+                 f"eps - alpha)")
     if args.online_training:
         args.train_on_recs = True
     cfg = cfg_from_args(args)

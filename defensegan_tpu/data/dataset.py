@@ -211,14 +211,16 @@ class ImageNet64(Dataset):
     """ImageNet-64 purifier data (BASELINE.json stretch config).
 
     Real path: npz shards of the downsampled-ImageNet release
-    (train_data_batch_*.npz with 'data' [N, 64*64*3] uint8 and 'labels')
-    under data_dir/imagenet64/. Falls back to synthetic 64x64 color images
-    with 100 classes.
+    (train_data_batch_*.npz with 'data' [N, 64*64*3] uint8 and 1-based
+    'labels' over the full 1000 ImageNet classes) under data_dir/imagenet64/.
+    Falls back to synthetic 64x64 color images. Labels are validated against
+    num_classes on load (out-of-range labels would be silently clamped by
+    XLA one_hot/take_along_axis downstream).
     """
 
     def __init__(self, data_dir: str = "data", seed: int = 0):
         super().__init__("imagenet64", data_dir, image_size=64, channels=3,
-                         num_classes=100, seed=seed)
+                         num_classes=1000, seed=seed)
 
     def _load_real(self, split: str) -> Optional[Arrays]:
         import glob
@@ -236,6 +238,11 @@ class ImageNet64(Dataset):
                 ys.append(np.asarray(d["labels"], np.int32) - 1)
         x = np.concatenate(xs)
         y = np.concatenate(ys)
+        if y.size and (y.min() < 0 or y.max() >= self.num_classes):
+            raise ValueError(
+                f"imagenet64 labels out of range [0, {self.num_classes}): "
+                f"min={y.min()} max={y.max()} — check the npz shards' "
+                f"'labels' convention (expected 1-based, 1000 classes)")
         if split == "dev":
             return x[-10000:], y[-10000:]
         if split == "train":

@@ -65,6 +65,17 @@ def train_classifier(model: nn.Module, x: np.ndarray, y: np.ndarray, *,
                             train=False)["params"]
     opt_state = tx.init(params)
 
+    # label-range guard: out-of-range labels would be silently clamped by
+    # take_along_axis under XLA, corrupting training with no error
+    n_out = int(model.apply({"params": params},
+                            jnp.zeros((1,) + x.shape[1:]),
+                            train=False).shape[-1])
+    y_arr = np.asarray(y)
+    if y_arr.size and (int(y_arr.min()) < 0 or int(y_arr.max()) >= n_out):
+        raise ValueError(
+            f"labels out of range for a {n_out}-way classifier: "
+            f"min={int(y_arr.min())} max={int(y_arr.max())}")
+
     @jax.jit
     def step(params, opt_state, xb, yb, dropout_key):
         if adv_eps is not None:

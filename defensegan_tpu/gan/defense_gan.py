@@ -91,8 +91,8 @@ class DefenseGAN:
         back_prop) — the role reconstructor_id played in TF1.
         """
         cfg = self.cfg
-        rr = rec_rr or cfg.rec_rr
-        iters = rec_iters or cfg.rec_iters
+        rr = rec_rr if rec_rr is not None else cfg.rec_rr
+        iters = rec_iters if rec_iters is not None else cfg.rec_iters
         lr = rec_lr if rec_lr is not None else cfg.rec_lr
         key = key if key is not None else jax.random.key(cfg.seed + 1)
 
@@ -167,6 +167,7 @@ class DefenseGAN:
             data = jax.device_put(data, replicated_sharding(mesh))
             self.state = jax.device_put(self.state, replicated_sharding(mesh))
         metrics = {}
+        last_good = {}
         t0 = time.time()
         state = self.state
         for it in range(1, iters + 1):
@@ -182,16 +183,25 @@ class DefenseGAN:
                         state = restore_checkpoint(cfg.output_dir,
                                                    self.state)
                         key = jax.random.fold_in(key, it)
-                        continue
-                    raise RuntimeError(
-                        f"training diverged at step {it}: {m}")
-                m.update(step=it, wall_s=round(time.time() - t0, 2))
-                append_jsonl(os.path.join(cfg.output_dir, "metrics.jsonl"), m)
-                if not quiet:
-                    print(f"[{cfg.type}] step {it}/{iters} "
-                          f"w={m.get('wasserstein', 0):+.4f} "
-                          f"g={m.get('g_loss', 0):+.4f} "
-                          f"gp={m.get('gp', 0):.4f}")
+                        # return value must not carry the diverged metrics;
+                        # fall back to the last finite logged ones (and let
+                        # the sample/save blocks below still run on the
+                        # restored state — matters when it == iters)
+                        metrics = dict(last_good)
+                    else:
+                        raise RuntimeError(
+                            f"training diverged at step {it}: {m}")
+                else:
+                    last_good = m
+                    m = dict(m, step=it,
+                             wall_s=round(time.time() - t0, 2))
+                    append_jsonl(
+                        os.path.join(cfg.output_dir, "metrics.jsonl"), m)
+                    if not quiet:
+                        print(f"[{cfg.type}] step {it}/{iters} "
+                              f"w={m.get('wasserstein', 0):+.4f} "
+                              f"g={m.get('g_loss', 0):+.4f} "
+                              f"gp={m.get('gp', 0):.4f}")
             if it % cfg.sample_every == 0 or it == iters:
                 self.state = state
                 grid = self.generate(sample_key, 64)
