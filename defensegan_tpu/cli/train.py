@@ -34,7 +34,9 @@ def main(argv=None):
         gan = load_gan(cfg)
         if gan.can_load():
             print("resuming from checkpoint")
-        x_train, _ = ds.load("train")
+        # uint8 keeps CelebA/ImageNet-64-scale datasets 4x leaner on host
+        # and in HBM; the jitted step normalizes per minibatch
+        x_train, _ = ds.load_u8("train")
         print(f"training {cfg.type} WGAN-GP on {x_train.shape[0]} images "
               f"for {cfg.train_iters} generator steps")
         gan.train(x_train)

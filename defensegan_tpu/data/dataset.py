@@ -92,12 +92,33 @@ class Dataset:
             return real
         return self._load_synthetic(split)
 
+    def load_u8(self, split: str = "train") -> Arrays:
+        """Images as uint8 [N,H,W,C] + labels — the memory-lean path for
+        CelebA/ImageNet-64 scale (4x smaller than float32 on host AND in
+        HBM; normalization happens inside the jitted train step). Datasets
+        with a native uint8 store return a numpy memmap (zero-copy load).
+        """
+        if split not in ("train", "dev", "test"):
+            raise ValueError(f"unknown split {split!r}")
+        real = self._load_real_u8(split)
+        if real is not None:
+            return real
+        x, y = self.load(split)
+        return (np.clip(x, 0.0, 1.0) * 255.0).round().astype(np.uint8), y
+
     def _load_synthetic(self, split: str) -> Arrays:
         return make_synthetic(_SPLIT_SIZES[split], self.image_size,
                               self.channels, self.num_classes,
                               seed=self.seed, split=split)
 
     def _load_real(self, split: str) -> Optional[Arrays]:
+        u8 = self._load_real_u8(split)
+        if u8 is None:
+            return None
+        x, y = u8
+        return np.asarray(x, np.float32) / 255.0, y
+
+    def _load_real_u8(self, split: str) -> Optional[Arrays]:
         return None
 
 
@@ -168,43 +189,91 @@ class CelebA(Dataset):
     Real path: aligned JPEGs under data_dir/celeba/img_align_celeba plus
     list_attr_celeba.txt; center-crop 108x108 then resize to 64x64; label =
     the 'Male' attribute. Falls back to synthetic color images.
+
+    Scale design (202k images): the JPEG decode+crop+resize pass runs ONCE
+    per split into a uint8 .npy cache (`build_cache`), written through a
+    disk memmap so peak host RAM stays at one chunk. Every later load is a
+    zero-copy `np.load(..., mmap_mode="r")` — O(ms) regardless of N. The
+    uint8 form is also what the training path keeps device-resident
+    (normalization happens inside the jitted step), 4x leaner than float32.
     """
+
+    CACHE_CHUNK = 2048
 
     def __init__(self, data_dir: str = "data", seed: int = 0):
         super().__init__("celeba", data_dir, image_size=64, channels=3,
                          num_classes=2, seed=seed)
 
-    def _load_real(self, split: str) -> Optional[Arrays]:
+    def _cache_paths(self, split: str):
+        return (os.path.join(self.data_dir, f"celeba64_{split}_images.npy"),
+                os.path.join(self.data_dir, f"celeba64_{split}_labels.npy"))
+
+    def _split_rows(self):
+        """Parse list_attr_celeba.txt into per-split (filename, label) rows
+        using the standard CelebA split boundaries (train < 162771,
+        val < 182638, rest test)."""
+        attr_path = os.path.join(self.data_dir, "list_attr_celeba.txt")
+        with open(attr_path) as f:
+            f.readline()  # count line
+            header = f.readline().split()
+            male_col = header.index("Male")
+            rows = [(parts[0], 1 if parts[male_col + 1] == "1" else 0)
+                    for parts in (line.split() for line in f if line.strip())]
+        bounds = {"train": (0, 162770), "dev": (162770, 182637),
+                  "test": (182637, len(rows))}
+        return {s: rows[lo:hi] for s, (lo, hi) in bounds.items()}
+
+    def build_cache(self, split: str, quiet: bool = False) -> Optional[str]:
+        """One-time JPEG -> uint8 .npy preprocessing for `split`.
+
+        Streams chunks through PIL (crop 108 -> resize 64, the reference's
+        preprocessing) into an on-disk memmap; never holds more than
+        CACHE_CHUNK decoded images in RAM.
+        """
         img_dir = os.path.join(self.data_dir, "img_align_celeba")
         attr_path = os.path.join(self.data_dir, "list_attr_celeba.txt")
         if not (os.path.isdir(img_dir) and os.path.exists(attr_path)):
             return None
         from PIL import Image
 
-        with open(attr_path) as f:
-            f.readline()  # count
-            header = f.readline().split()
-            male_col = header.index("Male")
-            rows = [line.split() for line in f if line.strip()]
-        # standard CelebA split boundaries: train <162771, val <182638, rest test
-        lo, hi = {"train": (0, 162770), "dev": (162770, 182637),
-                  "test": (182637, len(rows))}[split]
-        rows = rows[lo:hi]
-        images, labels = [], []
-        for row in rows:
-            p = os.path.join(img_dir, row[0])
-            if not os.path.exists(p):
-                continue
-            im = Image.open(p)
+        rows = [(f, y) for f, y in self._split_rows()[split]
+                if os.path.exists(os.path.join(img_dir, f))]
+        if not rows:
+            return None
+        img_path, lbl_path = self._cache_paths(split)
+        ensure = os.path.dirname(img_path)
+        os.makedirs(ensure, exist_ok=True)
+        tmp = img_path + ".tmp"
+        out = np.lib.format.open_memmap(
+            tmp, mode="w+", dtype=np.uint8, shape=(len(rows), 64, 64, 3))
+        labels = np.empty(len(rows), np.int32)
+        for i, (fname, y) in enumerate(rows):
+            im = Image.open(os.path.join(img_dir, fname))
             w, h = im.size
             left, top = (w - 108) // 2, (h - 108) // 2
             im = im.crop((left, top, left + 108, top + 108)).resize(
                 (64, 64), Image.BILINEAR)
-            images.append(np.asarray(im, dtype=np.float32) / 255.0)
-            labels.append(1 if row[male_col + 1] == "1" else 0)
-        if not images:
-            return None
-        return np.stack(images), np.asarray(labels, dtype=np.int32)
+            arr = np.asarray(im, dtype=np.uint8)
+            if arr.ndim == 2:  # grayscale stragglers
+                arr = np.repeat(arr[:, :, None], 3, axis=2)
+            out[i] = arr
+            labels[i] = y
+            if not quiet and (i + 1) % 20000 == 0:
+                print(f"  celeba cache [{split}]: {i + 1}/{len(rows)}")
+        out.flush()
+        del out
+        os.replace(tmp, img_path)
+        np.save(lbl_path, labels)
+        return img_path
+
+    def _load_real_u8(self, split: str) -> Optional[Arrays]:
+        img_path, lbl_path = self._cache_paths(split)
+        if not (os.path.exists(img_path) and os.path.exists(lbl_path)):
+            if self.build_cache(split) is None:
+                return None
+        images = np.load(img_path, mmap_mode="r")
+        labels = np.load(lbl_path)
+        return images, labels
 
 
 class ImageNet64(Dataset):
@@ -222,7 +291,7 @@ class ImageNet64(Dataset):
         super().__init__("imagenet64", data_dir, image_size=64, channels=3,
                          num_classes=1000, seed=seed)
 
-    def _load_real(self, split: str) -> Optional[Arrays]:
+    def _load_real_u8(self, split: str) -> Optional[Arrays]:
         import glob
 
         pattern = "train_data_batch_*.npz" if split != "test" \
@@ -234,7 +303,7 @@ class ImageNet64(Dataset):
         for p in paths:
             with np.load(p) as d:
                 x = d["data"].reshape(-1, 3, 64, 64).transpose(0, 2, 3, 1)
-                xs.append(x.astype(np.float32) / 255.0)
+                xs.append(np.ascontiguousarray(x))  # stays uint8
                 ys.append(np.asarray(d["labels"], np.int32) - 1)
         x = np.concatenate(xs)
         y = np.concatenate(ys)

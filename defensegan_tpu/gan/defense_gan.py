@@ -161,7 +161,10 @@ class DefenseGAN:
         save_config(cfg)
         key = jax.random.key(cfg.seed)
         key, sample_key = jax.random.split(key)
-        data = jnp.asarray(images, jnp.float32)
+        # uint8 datasets stay uint8 on device (normalized per minibatch
+        # inside the step); everything else is float32 in [0, 1]
+        data = jnp.asarray(images) if images.dtype == np.uint8 \
+            else jnp.asarray(images, jnp.float32)
         if mesh is not None:
             from defensegan_tpu.parallel import replicated_sharding
             data = jax.device_put(data, replicated_sharding(mesh))

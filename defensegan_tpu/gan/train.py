@@ -188,6 +188,11 @@ def make_data_train_step(generator: nn.Module, critic: nn.Module,
         idx = jax.random.randint(k_idx, (disc_iters, batch_size), 0,
                                  data.shape[0])
         real = data[idx]  # [disc_iters, B, H, W, C] gathered on-device
+        if real.dtype == jnp.uint8:
+            # uint8 device-resident datasets (CelebA/ImageNet-64 scale):
+            # normalize per minibatch inside the jitted step — 4x less HBM
+            # than a float32-resident copy
+            real = real.astype(jnp.float32) / 255.0
         if mesh is not None:
             # DP: pin the per-critic-iter batch axis onto the data mesh axis
             from jax.sharding import NamedSharding, PartitionSpec as P
