@@ -28,6 +28,7 @@ from defensegan_tpu.cli.common import (add_cfg_args, cfg_from_args, limit,
 from defensegan_tpu.eval import model_eval, model_eval_gan, train_classifier
 from defensegan_tpu.models import build_classifier
 from defensegan_tpu.utils.misc import append_jsonl, ensure_dir
+from defensegan_tpu.utils.profiling import PhaseTimer
 
 HOLDOUT = 150  # substitute seed size (paper / cleverhans tutorial)
 
@@ -96,10 +97,12 @@ def main(argv=None):
     print(f"training black-box target model {args.bb_model}"
           + (f" (FGSM adv training eps={adv_eps})" if adv_eps else "")
           + " ...")
+    timer = PhaseTimer()
     bb_model = build_classifier(args.bb_model, num_classes=cfg.num_classes)
-    bb = train_classifier(bb_model, x_fit, y_fit, key=k_bb,
-                          epochs=args.classifier_epochs, adv_eps=adv_eps,
-                          quiet=False)
+    with timer.phase("train_target"):
+        bb = train_classifier(bb_model, x_fit, y_fit, key=k_bb,
+                              epochs=args.classifier_epochs, adv_eps=adv_eps,
+                              quiet=False)
     bb_logits = bb.logits_fn()
     clean_acc = model_eval(bb_logits, x_eval, y_eval)
     print(f"target clean accuracy: {clean_acc:.4f}")
@@ -108,11 +111,13 @@ def main(argv=None):
     print(f"training substitute model {args.sub_model} "
           f"({args.data_aug} augmentation rounds) ...")
     sub_model = build_classifier(args.sub_model, num_classes=cfg.num_classes)
-    sub, x_sub = train_substitute(sub_model, bb_logits, x_seed, key=k_sub,
-                                  data_aug=args.data_aug, lmbda=args.lmbda,
-                                  epochs_per_round=args.sub_epochs,
-                                  persistent=not args.sub_from_scratch,
-                                  quiet=False)
+    with timer.phase("train_substitute"):
+        sub, x_sub = train_substitute(sub_model, bb_logits, x_seed,
+                                      key=k_sub, data_aug=args.data_aug,
+                                      lmbda=args.lmbda,
+                                      epochs_per_round=args.sub_epochs,
+                                      persistent=not args.sub_from_scratch,
+                                      quiet=False)
     sub_logits = sub.logits_fn()
     agree = model_eval(sub_logits, x_eval,
                        np.asarray(jnp.argmax(bb_logits(jnp.asarray(x_eval)),
@@ -125,12 +130,13 @@ def main(argv=None):
     def craft(xb, yb):
         return fgsm(sub_logits, xb, yb, args.fgsm_eps)
 
-    advs = []
-    bs = 256
-    for i in range(0, x_eval.shape[0], bs):
-        advs.append(np.asarray(craft(jnp.asarray(x_eval[i:i + bs]),
-                                     jnp.asarray(y_eval[i:i + bs]))))
-    x_adv = np.concatenate(advs)
+    with timer.phase("attack"):
+        advs = []
+        bs = 256
+        for i in range(0, x_eval.shape[0], bs):
+            advs.append(np.asarray(craft(jnp.asarray(x_eval[i:i + bs]),
+                                         jnp.asarray(y_eval[i:i + bs]))))
+        x_adv = np.concatenate(advs)
 
     adv_acc = model_eval(bb_logits, x_adv, y_eval)
     print(f"target accuracy under transferred FGSM (eps={args.fgsm_eps}), "
@@ -141,12 +147,14 @@ def main(argv=None):
     if args.defense_type == "adv_tr":
         defended_acc = adv_acc  # the defense is in the classifier weights
     if args.defense_type == "defense_gan":
-        clean_defended_acc = model_eval_gan(gan, bb_logits, x_eval, y_eval,
-                                            key=k_eval)
+        with timer.phase("purify_classify_clean"):
+            clean_defended_acc = model_eval_gan(gan, bb_logits, x_eval,
+                                                y_eval, key=k_eval)
         print(f"target accuracy on purified CLEAN inputs: "
               f"{clean_defended_acc:.4f}")
-        defended_acc = model_eval_gan(gan, bb_logits, x_adv, y_eval,
-                                      key=k_eval)
+        with timer.phase("purify_classify_adv"):
+            defended_acc = model_eval_gan(gan, bb_logits, x_adv, y_eval,
+                                          key=k_eval)
         print(f"target accuracy under FGSM, Defense-GAN (R={cfg.rec_rr}, "
               f"L={cfg.rec_iters}): {defended_acc:.4f}")
 
@@ -162,7 +170,9 @@ def main(argv=None):
         "clean_acc": clean_acc, "sub_agreement": agree,
         "clean_defended_acc": clean_defended_acc,
         "adv_acc_no_defense": adv_acc, "defended_acc": defended_acc,
+        "phases": timer.summary(),
     }
+    print(f"phase breakdown: {timer}")
     append_jsonl(os.path.join(args.results_dir, "blackbox.jsonl"), record)
     print(json.dumps(record))
     return record

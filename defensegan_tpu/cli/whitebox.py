@@ -29,6 +29,7 @@ from defensegan_tpu.cli.common import (add_cfg_args, cfg_from_args, limit,
 from defensegan_tpu.eval import model_eval, model_eval_gan, train_classifier
 from defensegan_tpu.models import build_classifier
 from defensegan_tpu.utils.misc import append_jsonl, ensure_dir
+from defensegan_tpu.utils.profiling import PhaseTimer
 
 
 def get_classifier(cfg, args, gan, x_train, y_train, key):
@@ -136,10 +137,13 @@ def main(argv=None):
 
     key = jax.random.key(cfg.seed + 7)
     k_clf, k_att, k_eval = jax.random.split(key, 3)
-    clf = get_classifier(cfg, args, gan, x_train, y_train, k_clf)
+    timer = PhaseTimer()
+    with timer.phase("train_classifier"):
+        clf = get_classifier(cfg, args, gan, x_train, y_train, k_clf)
     logits_fn = clf.logits_fn()
 
-    clean_acc = model_eval(logits_fn, x_test, y_test)
+    with timer.phase("clean_eval"):
+        clean_acc = model_eval(logits_fn, x_test, y_test)
     print(f"clean accuracy ({args.model}): {clean_acc:.4f}")
 
     clean_defended_acc = None
@@ -147,8 +151,9 @@ def main(argv=None):
         # paper also reports accuracy on purified CLEAN inputs — the
         # defense's no-attack cost and the key diagnostic for
         # classifier-vs-reconstruction domain shift
-        clean_defended_acc = model_eval_gan(gan, logits_fn, x_test, y_test,
-                                            key=k_eval)
+        with timer.phase("purify_classify_clean"):
+            clean_defended_acc = model_eval_gan(gan, logits_fn, x_test,
+                                                y_test, key=k_eval)
         print(f"clean accuracy through Defense-GAN: {clean_defended_acc:.4f}")
 
     # --- attack target: classifier, or classifier o reconstruct (unrolled)
@@ -209,10 +214,12 @@ def main(argv=None):
                                          jax.random.fold_in(k_att, i))))
         x_adv = np.concatenate(advs)[:n]
     attack_time = time.time() - t0
+    timer.record("attack", attack_time)
     print(f"crafted {args.attack_type} adversarial examples in "
           f"{attack_time:.1f}s")
 
-    adv_acc = model_eval(logits_fn, x_adv, y_test)
+    with timer.phase("adv_eval"):
+        adv_acc = model_eval(logits_fn, x_adv, y_test)
     print(f"adversarial accuracy, NO defense: {adv_acc:.4f}")
 
     if args.save_images and args.defense_type == "defense_gan":
@@ -233,8 +240,9 @@ def main(argv=None):
     defended_acc = None
     if args.defense_type == "defense_gan":
         t0 = time.time()
-        defended_acc = model_eval_gan(gan, logits_fn, x_adv, y_test,
-                                      key=k_eval)
+        with timer.phase("purify_classify_adv"):
+            defended_acc = model_eval_gan(gan, logits_fn, x_adv, y_test,
+                                          key=k_eval)
         print(f"adversarial accuracy, Defense-GAN (R={cfg.rec_rr}, "
               f"L={cfg.rec_iters}): {defended_acc:.4f} "
               f"[{time.time() - t0:.1f}s]")
@@ -251,7 +259,9 @@ def main(argv=None):
         "clean_acc": clean_acc, "clean_defended_acc": clean_defended_acc,
         "adv_acc_no_defense": adv_acc,
         "defended_acc": defended_acc, "attack_time_s": round(attack_time, 2),
+        "phases": timer.summary(),
     }
+    print(f"phase breakdown: {timer}")
     append_jsonl(os.path.join(args.results_dir, "whitebox.jsonl"), record)
     print(json.dumps(record))
     return record

@@ -21,6 +21,9 @@ generators in three TPU-oriented forms:
                    every op runs at near-peak MXU throughput and the same
                    structure drops into a VMEM-resident Pallas kernel
                    (kernels/fused_projection_v2.py).
+  variant="hybrid" inner deconvs stay convs; only the FINAL deconv (1 or 3
+                   output channels — pathological MXU utilization as a conv)
+                   is materialized dense. Works for both archs.
 
 All variants are numerically equivalent to `generator.apply(train=False)` up
 to dtype rounding (exact in float32 — see tests/test_fastgen.py).
@@ -137,7 +140,7 @@ def pack_generator(generator: Generator, params: dict, batch_stats: dict,
     evaluates inside reconstruct() (models/gan.py ~L350-500); folding is
     exact because inference BN is affine.
     """
-    if variant not in ("conv", "phase", "dense"):
+    if variant not in ("conv", "phase", "dense", "hybrid"):
         raise ValueError(f"unknown packed variant {variant!r}")
     dtype = generator.dtype
     c0 = generator.channels[0]
@@ -169,15 +172,18 @@ def pack_generator(generator: Generator, params: dict, batch_stats: dict,
     out_hw = generator.output_hw
     out_c = generator.out_channels
     dense = ()
-    if variant == "dense":
-        if n_blocks != 0:
+    if variant in ("dense", "hybrid"):
+        if variant == "dense" and n_blocks != 0:
             raise ValueError("variant='dense' covers the single-deconv wide "
-                             "arch only (len(channels) must be 1)")
-        # Materialize the (linear) deconv as a dense matrix by probing with
-        # the identity basis: exact, convention-free.
-        kern, bias, _ = convs[0]
-        feat = hw * hw * c0
-        eye = np.eye(feat, dtype=np.float32).reshape(feat, hw, hw, c0)
+                             "arch only (len(channels) must be 1); use "
+                             "'hybrid' for deep archs")
+        # Materialize the FINAL (linear) deconv as a dense matrix by probing
+        # with the identity basis: exact, convention-free.
+        kern, bias, _ = convs[-1]
+        in_hw = out_hw // 2
+        in_c = kern.shape[2]
+        feat = in_hw * in_hw * in_c
+        eye = np.eye(feat, dtype=np.float32).reshape(feat, in_hw, in_hw, in_c)
         cols = jax.lax.conv_transpose(
             jnp.asarray(eye), jnp.asarray(kern), strides=(2, 2),
             padding="SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -185,7 +191,10 @@ def pack_generator(generator: Generator, params: dict, batch_stats: dict,
         b_d = jnp.asarray(np.broadcast_to(
             bias, (out_hw, out_hw, out_c)).reshape(-1).copy(), dtype)
         dense = (d_mat, b_d)
-        packed_convs: Tuple = ()
+        # inner deconvs (hybrid deep path) stay folded convs
+        packed_convs: Tuple = tuple(
+            (jnp.asarray(k, dtype), jnp.asarray(bb, dtype), relu)
+            for k, bb, relu in convs[:-1])
     elif variant == "phase":
         packed_convs = tuple(
             (phase_decompose(k, bb, dtype=dtype), relu)
@@ -202,9 +211,10 @@ def pack_generator(generator: Generator, params: dict, batch_stats: dict,
 
 def make_packed_apply(packed: PackedGenerator) -> Callable:
     """Return gen_apply_flat: z [N, k] -> tanh images [N, H*W*C] (f32)."""
-    hw, c0 = packed.base_hw, None
+    hw = packed.base_hw
 
     if packed.variant == "dense":
+        # wide arch: no inner convs — pure matmul chain
         d_mat, b_d = packed.dense
 
         def apply_flat(z):
@@ -231,6 +241,10 @@ def make_packed_apply(packed: PackedGenerator) -> Callable:
                     dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
             if relu:
                 h = jnp.maximum(h, 0)
+        if packed.variant == "hybrid":
+            d_mat, b_d = packed.dense
+            o = h.reshape(h.shape[0], -1) @ d_mat + b_d
+            return jnp.tanh(o).astype(jnp.float32)
         out = jnp.tanh(h).astype(jnp.float32)
         return out.reshape(out.shape[0], -1)
 

@@ -55,6 +55,7 @@ class DefenseGAN:
             self.generator, self.critic, key, cfg.image_shape,
             cfg.latent_dim, self.gen_tx, self.disc_tx)
         self._train_step = None
+        self._train_chunk = None
         self._reconstructors: Dict[Tuple, callable] = {}
         self._sampler = None
 
@@ -157,6 +158,23 @@ class DefenseGAN:
             self._train_step = jax.jit(
                 lambda state, data, key: step(state, data, key, mesh=mesh))
 
+        if self._train_chunk is None:
+            # N steps inside ONE program (lax.scan over fresh PRNG keys):
+            # the host fetches metrics once per chunk instead of
+            # round-tripping state handles every step — significant on
+            # transports with per-dispatch overhead (see CLAUDE.md).
+            # Late-binds self._train_step so tests can substitute it.
+            def chunk(state, data, key, n):
+                keys = jax.random.split(key, n)
+
+                def body(st, k):
+                    return self._train_step(st, data, k)
+
+                st, ms = jax.lax.scan(body, state, keys)
+                return st, {k: v[-1] for k, v in ms.items()}
+
+            self._train_chunk = jax.jit(chunk, static_argnums=3)
+
         ensure_dir(cfg.output_dir)
         save_config(cfg)
         key = jax.random.key(cfg.seed)
@@ -173,9 +191,24 @@ class DefenseGAN:
         last_good = {}
         t0 = time.time()
         state = self.state
-        for it in range(1, iters + 1):
+
+        def _next_boundary(it):
+            """Steps until the next log/sample/save/end event."""
+            nxt = iters
+            for every in (log_every, cfg.sample_every, cfg.save_every):
+                if every and every > 0:
+                    nxt = min(nxt, (it // every + 1) * every)
+            return max(nxt - it, 1)
+
+        it = 0
+        while it < iters:
+            n = _next_boundary(it)
             key, step_key = jax.random.split(key)
-            state, metrics = self._train_step(state, data, step_key)
+            if n == 1:
+                state, metrics = self._train_step(state, data, step_key)
+            else:
+                state, metrics = self._train_chunk(state, data, step_key, n)
+            it += n
             if it % log_every == 0 or it == iters:
                 m = {k: float(v) for k, v in metrics.items()}
                 if not all(np.isfinite(v) for v in m.values()):
@@ -219,7 +252,14 @@ class DefenseGAN:
         # invalidate them now that the generator changed (the XLA ones take
         # params as arguments and could stay, but a full clear is cheap)
         self._reconstructors.clear()
-        return {k: float(v) for k, v in metrics.items()}
+        out = {k: float(v) for k, v in metrics.items()}
+        wall = time.time() - t0
+        if wall > 0:
+            out["train_steps_per_s"] = round(iters / wall, 2)
+            if not quiet:
+                print(f"[{cfg.type}] {iters} steps in {wall:.1f}s "
+                      f"({out['train_steps_per_s']} generator steps/s)")
+        return out
 
     # ------------------------------------------------------------ ckpt i/o
     def save(self) -> str:

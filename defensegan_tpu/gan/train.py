@@ -79,6 +79,7 @@ def make_train_step(
     latent_dim: int,
     disc_iters: int = 5,
     gp_lambda: float = 10.0,
+    axis_name: str = None,
 ) -> Callable[[GANState, jnp.ndarray, jax.Array],
               Tuple[GANState, Dict[str, jnp.ndarray]]]:
     """Build the jitted train step.
@@ -86,7 +87,18 @@ def make_train_step(
     Returned fn: (state, real_images [disc_iters, B, H, W, C] in [0,1], key)
     -> (state, metrics). Each critic iteration consumes its own minibatch
     slice, matching the reference's fresh batch per critic step.
+
+    axis_name: set when running under shard_map/pmap (explicit-collective
+    DP, the multi-host path — see parallel/distributed.py): gradients and
+    metrics are pmean'd over the axis and the per-shard RNG stream is
+    decorrelated via the shard index. Leave None under jit/GSPMD, where XLA
+    inserts the psum from the sharding constraints instead.
     """
+
+    def _sync_grads(grads):
+        if axis_name is not None:
+            return jax.lax.pmean(grads, axis_name)
+        return grads
 
     def gen_fake(gen_params, gen_stats, z, mutable: bool):
         variables = {"params": gen_params, "batch_stats": gen_stats}
@@ -116,6 +128,7 @@ def make_train_step(
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             disc_params)
+        grads = _sync_grads(grads)
         updates, disc_opt_state = disc_tx.update(grads, disc_opt_state,
                                                  disc_params)
         disc_params = optax.apply_updates(disc_params, updates)
@@ -125,6 +138,10 @@ def make_train_step(
     def train_step(state: GANState, real_images: jnp.ndarray,
                    key: jax.Array):
         real = from_image_space(real_images)
+        if axis_name is not None:
+            # decorrelate the per-shard z/eps streams (under GSPMD the
+            # single logical program already does this implicitly)
+            key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
         k_disc, k_gen = jax.random.split(key)
         disc_keys = jax.random.split(k_disc, disc_iters)
 
@@ -146,12 +163,18 @@ def make_train_step(
 
         (g_loss, gen_stats), grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True)(state.gen_params)
+        grads = _sync_grads(grads)
+        if axis_name is not None:
+            # keep BN running averages identical across shards
+            gen_stats = jax.lax.pmean(gen_stats, axis_name)
         updates, gen_opt_state = gen_tx.update(grads, state.gen_opt_state,
                                                state.gen_params)
         gen_params = optax.apply_updates(state.gen_params, updates)
 
         metrics = {k: v[-1] for k, v in disc_metrics.items()}
         metrics["g_loss"] = g_loss
+        if axis_name is not None:
+            metrics = jax.lax.pmean(metrics, axis_name)
         new_state = state.replace(
             step=state.step + 1,
             gen_params=gen_params,

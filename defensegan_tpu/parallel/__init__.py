@@ -4,6 +4,8 @@ The reference (kabkabm/defensegan) is single-process single-GPU with zero
 collectives; this module is new TPU-native machinery: a 1-D `data` mesh over
 ICI, batch sharded across it, params replicated. XLA's GSPMD partitioner
 inserts the gradient psums (see SURVEY.md section 2, parallelism table).
+Multi-host bootstrap + the explicit-collective shard_map train step live in
+parallel/distributed.py.
 """
 
 from defensegan_tpu.parallel.mesh import (
@@ -12,5 +14,12 @@ from defensegan_tpu.parallel.mesh import (
     replicated_sharding,
     shard_batch,
 )
+from defensegan_tpu.parallel.distributed import (
+    global_batch_sharding,
+    initialize_distributed,
+    make_shard_map_train_step,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding", "shard_batch"]
+__all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
+           "shard_batch", "initialize_distributed",
+           "make_shard_map_train_step", "global_batch_sharding"]

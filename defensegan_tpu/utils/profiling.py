@@ -64,6 +64,11 @@ class PhaseTimer:
             self.totals[name] += dt
             self.counts[name] += 1
 
+    def record(self, name: str, seconds: float) -> None:
+        """Fold an externally-measured duration into the phase totals."""
+        self.totals[name] += seconds
+        self.counts[name] += 1
+
     def summary(self) -> Dict[str, Dict[str, float]]:
         return {k: {"total_s": round(v, 4), "count": self.counts[k],
                     "mean_s": round(v / max(self.counts[k], 1), 4)}

@@ -33,12 +33,20 @@ K = 50
 R, L = 10, 200
 
 
-def time_step(name, gen_apply, x_flat, z, unroll=8, reps=3):
+def time_step(name, gen_apply, x_flat, z, unroll=8, reps=3, bf16_loss=False):
     """One projection step (fwd+vjp+momentum) timed inside a scan."""
 
-    def loss(zz):
-        d = (gen_apply(zz) - x_flat).astype(jnp.float32)
-        return jnp.sum(jnp.mean(jnp.square(d), axis=1))
+    if bf16_loss:
+        x16 = x_flat.astype(jnp.bfloat16)
+
+        def loss(zz):
+            d = gen_apply(zz).astype(jnp.bfloat16) - x16
+            return jnp.sum(jnp.mean(jnp.square(d).astype(jnp.float32),
+                                    axis=1))
+    else:
+        def loss(zz):
+            d = (gen_apply(zz) - x_flat).astype(jnp.float32)
+            return jnp.sum(jnp.mean(jnp.square(d), axis=1))
 
     grad = jax.grad(loss)
 
@@ -60,40 +68,52 @@ def time_step(name, gen_apply, x_flat, z, unroll=8, reps=3):
         float(run(z))
         best = min(best, time.perf_counter() - t0)
     per_iter = best / K
-    recon_s = (N / R) / (L * per_iter)
+    recon_s = (z.shape[0] / R) / (L * per_iter)
     print(f"{name:28s} {per_iter * 1e3:8.3f} ms/step   "
           f"implied {recon_s:7.1f} recon/s", flush=True)
     return recon_s
 
 
-def bench_config(cfg_path, label, variants, unrolls=(8,)):
+def bench_config(cfg_path, label, variants, unrolls=(8,), n=N,
+                 include_flax=True, bf16_variants=()):
     cfg = load_config(cfg_path)
     gan = DefenseGAN(cfg)
     if gan.can_load():
         gan.load()
         print(f"[{label}] trained weights loaded from {cfg.output_dir}")
     kx, kz = jax.random.split(jax.random.key(0))
-    x = jax.random.uniform(kx, (N, 28 * 28), jnp.float32) * 2 - 1
-    z = jax.random.normal(kz, (N, cfg.latent_dim), jnp.float32)
+    x = jax.random.uniform(kx, (n, 28 * 28), jnp.float32) * 2 - 1
+    z = jax.random.normal(kz, (n, cfg.latent_dim), jnp.float32)
 
     def flax_flat(zz):
         return gan.gen_apply_tanh(zz).reshape(zz.shape[0], -1)
 
-    applies = {"flax": flax_flat}
+    applies = {"flax": flax_flat} if include_flax else {}
     for v in variants:
         applies[v] = packed_apply_for(gan, variant=v)
     for unroll in unrolls:
-        print(f"[{label}] N={N} unroll={unroll}")
+        print(f"[{label}] N={n} unroll={unroll}")
         for name, fn in applies.items():
             time_step(f"  {name}", fn, x, z, unroll=unroll)
+            if name in bf16_variants:
+                time_step(f"  {name}+bf16loss", fn, x, z, unroll=unroll,
+                          bf16_loss=True)
 
 
 def main():
     print(f"devices: {jax.devices()}", flush=True)
-    bench_config("defensegan_tpu/configs/gans/mnist_fast.yml", "wide/dim16",
-                 variants=("conv", "phase", "dense"), unrolls=(8, 50))
     bench_config("defensegan_tpu/configs/gans/mnist.yml", "deep/dim64",
-                 variants=("conv", "phase"), unrolls=(8, 16))
+                 variants=("hybrid",), unrolls=(8,),
+                 bf16_variants=("flax", "hybrid"))
+    bench_config("defensegan_tpu/configs/gans/mnist.yml", "deep/dim64",
+                 variants=("hybrid",), unrolls=(8,), n=40960,
+                 include_flax=True)
+    bench_config("defensegan_tpu/configs/gans/mnist_fast.yml", "wide/dim16",
+                 variants=("conv", "hybrid"), unrolls=(8,),
+                 include_flax=False, bf16_variants=("conv",))
+    bench_config("defensegan_tpu/configs/gans/mnist_fast.yml", "wide/dim16",
+                 variants=("conv",), unrolls=(8,), n=40960,
+                 include_flax=False)
 
 
 if __name__ == "__main__":

@@ -42,10 +42,10 @@ def test_phase_decompose_matches_conv_transpose():
 
 
 @pytest.mark.parametrize("dataset,arch,variants", [
-    ("mnist", "deep", ("conv", "phase")),
-    ("mnist", "wide", ("conv", "phase", "dense")),
-    ("celeba", "deep", ("conv", "phase")),
-    ("celeba", "wide", ("conv", "phase")),
+    ("mnist", "deep", ("conv", "phase", "hybrid")),
+    ("mnist", "wide", ("conv", "phase", "dense", "hybrid")),
+    ("celeba", "deep", ("conv", "phase", "hybrid")),
+    ("celeba", "wide", ("conv", "phase", "hybrid")),
 ])
 def test_packed_matches_flax(dataset, arch, variants):
     gen = generator_for(dataset, dim=8, dtype=jnp.float32, arch=arch)
