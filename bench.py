@@ -52,7 +52,8 @@ def main():
     ap.add_argument("--rec_rr", type=int, default=10)
     ap.add_argument("--rec_iters", type=int, default=200)
     ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--kernel", choices=["auto", "xla", "matmul", "pallas"],
+    ap.add_argument("--kernel",
+                    choices=["auto", "xla", "packed", "matmul", "pallas"],
                     default="auto")
     args = ap.parse_args()
 
@@ -68,24 +69,15 @@ def main():
 
     kernel = args.kernel
     if kernel == "auto":
-        # the Pallas fused kernel is numerically validated but currently
-        # slower than the XLA scan (see RESULTS.md); auto stays on xla
-        kernel = "xla"
+        # same resolution DefenseGAN.reconstruct applies: packed wins for
+        # the wide arch, xla for deep (RESULTS.md round-2 measurements)
+        kernel = "packed" if cfg.gen_arch == "wide" else "xla"
 
     key = jax.random.key(0)
     kx, kz = jax.random.split(key)
     x = jax.random.uniform(kx, (args.batch,) + cfg.image_shape, jnp.float32)
 
-    if kernel == "pallas":
-        from defensegan_tpu.kernels import make_pallas_reconstructor
-        run = make_pallas_reconstructor(gan, rec_rr=cfg.rec_rr,
-                                        rec_iters=cfg.rec_iters,
-                                        rec_lr=cfg.rec_lr,
-                                        momentum=cfg.rec_momentum)
-
-        def bench_fn(x, k):
-            return run(x, k).x_hat
-    elif kernel == "matmul":
+    if kernel == "matmul":
         from defensegan_tpu.kernels import make_matmul_reconstructor
         run = make_matmul_reconstructor(gan, rec_rr=cfg.rec_rr,
                                         rec_iters=cfg.rec_iters,
@@ -95,6 +87,8 @@ def main():
         def bench_fn(x, k):
             return run(x, k).x_hat
     else:
+        cfg.projection_kernel = kernel  # dataclass field, reconstruct reads it
+
         def bench_fn(x, k):
             return gan.reconstruct(x, k).x_hat
 

@@ -53,9 +53,12 @@ class Config:
 
     # --- compute ---
     compute_dtype: str = "bfloat16"  # COMPUTE_DTYPE: float32 | bfloat16
-    projection_kernel: str = "xla"   # PROJECTION_KERNEL: xla | pallas
-    #   pallas = fused on-chip RxL loop (kernels/fused_projection.py);
-    #   falls back to xla when the topology/platform isn't covered
+    projection_kernel: str = "auto"  # PROJECTION_KERNEL:
+    #   auto   = packed for wide archs, xla for deep (measured on v5e)
+    #   xla    = flax generator in the lax.scan loop
+    #   packed = BN-folded flat-space generator (defense/fastgen.py)
+    #   pallas = fused on-chip RxL loop (fused_projection[_v2].py);
+    #            falls back to xla when the topology isn't covered
     seed: int = 0                    # SEED
     mesh_data_axis: int = -1         # MESH_DATA_AXIS: -1 = all local devices
 

@@ -97,10 +97,24 @@ class DefenseGAN:
         lr = rec_lr if rec_lr is not None else cfg.rec_lr
         key = key if key is not None else jax.random.key(cfg.seed + 1)
 
-        if (cfg.projection_kernel == "pallas" and not back_prop
-                and lr == cfg.rec_lr):
-            from defensegan_tpu.kernels import (make_pallas_reconstructor,
-                                                projection_kernel_available)
+        kernel = cfg.projection_kernel
+        if kernel == "auto":
+            # measured on the v5e (RESULTS.md round 2): the BN-folded packed
+            # apply wins for the wide arch; the flax/XLA path for deep
+            kernel = "packed" if cfg.gen_arch == "wide" else "xla"
+
+        if (kernel == "pallas" and not back_prop and lr == cfg.rec_lr):
+            from defensegan_tpu.kernels import (
+                dense_kernel_available, make_pallas_dense_reconstructor,
+                make_pallas_reconstructor, projection_kernel_available)
+            if dense_kernel_available(self) and (x.shape[0] * rr) % 512 == 0:
+                sig = ("pallas-v2", rr, iters, lr)
+                if sig not in self._reconstructors:
+                    self._reconstructors[sig] = \
+                        make_pallas_dense_reconstructor(
+                            self, rec_rr=rr, rec_iters=iters, rec_lr=lr,
+                            momentum=cfg.rec_momentum, tile=512)
+                return self._reconstructors[sig](x, key)
             tile = 32
             if (projection_kernel_available(self)
                     and (x.shape[0] * rr) % tile == 0):
@@ -110,6 +124,31 @@ class DefenseGAN:
                         self, rec_rr=rr, rec_iters=iters, rec_lr=lr,
                         momentum=cfg.rec_momentum, tile=tile)
                 return self._reconstructors[sig](x, key)
+
+        if kernel == "packed":
+            # BN-folded packed generator on the FLAT image space
+            # (defense/fastgen.py): fewer ops for XLA to schedule, no
+            # reshapes in the hot loop; weights are captured at build time
+            # (caches cleared on train/load)
+            sig = ("packed", rr, iters, lr, back_prop)
+            if sig not in self._reconstructors:
+                from defensegan_tpu.defense.fastgen import packed_apply_for
+                apply_flat = packed_apply_for(self, variant="conv")
+                img_shape = cfg.image_shape
+
+                @jax.jit
+                def run(x, z0):
+                    x_flat = x.reshape(x.shape[0], -1)
+                    res = reconstruct(apply_flat, x_flat, z0,
+                                      rec_iters=iters, rec_lr=lr,
+                                      momentum=cfg.rec_momentum,
+                                      back_prop=back_prop,
+                                      unroll=cfg.rec_unroll)
+                    return res._replace(x_hat=res.x_hat.reshape(
+                        (x.shape[0],) + tuple(img_shape)))
+                self._reconstructors[sig] = run
+            z0 = sample_z0(key, x.shape[0], rr, cfg.latent_dim)
+            return self._reconstructors[sig](x, z0)
 
         sig = (rr, iters, lr, back_prop)
         if sig not in self._reconstructors:

@@ -18,6 +18,10 @@ from defensegan_tpu.kernels.fused_projection import (
     projection_kernel_available,
     make_pallas_reconstructor,
 )
+from defensegan_tpu.kernels.fused_projection_v2 import (
+    dense_kernel_available,
+    make_pallas_dense_reconstructor,
+)
 
 
 def make_matmul_reconstructor(gan, *, rec_rr: int, rec_iters: int,
@@ -59,4 +63,6 @@ __all__ = [
     "make_matmul_reconstructor",
     "projection_kernel_available",
     "make_pallas_reconstructor",
+    "dense_kernel_available",
+    "make_pallas_dense_reconstructor",
 ]

@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""Turnkey paper-parity harness (VERDICT round-1 item 3).
+
+One command reproduces the Defense-GAN paper's robust-accuracy tables
+(arXiv:1805.06605; targets mirrored in BASELINE.md) and diffs every cell
+against the expected value with per-cell tolerances:
+
+  python scripts/parity.py                      # full table, MNIST+F-MNIST
+  python scripts/parity.py --quick              # model A, small test set
+  python scripts/parity.py --datasets mnist --models A B
+
+Pipeline per dataset: maybe_download() -> (train or reuse) WGAN ->
+white-box {fgsm, rand_fgsm, cw} x models x {none, defense_gan, adv_tr} ->
+black-box substitutes {B, E}. Results land in output/results/parity.md
+(+ .json). Exit code: 0 = all checked cells pass (or data is synthetic —
+then the report is explicitly labeled QUALITATIVE and no parity claim is
+made), 1 = a parity cell failed on real data.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from defensegan_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
+CFG_DIR = os.path.join("defensegan_tpu", "configs", "gans")
+CFGS = {"mnist": "mnist_fast.yml", "f-mnist": "fmnist.yml"}
+
+# Expected cells: (dataset, model, attack, defense) -> (lo, hi) acceptance
+# band. Bands for model A come from the paper's tables +-1-2%; other models'
+# bands are the paper's qualitative pattern (defense restores accuracy,
+# no-defense collapses). None = record only, no check.
+PARITY = {
+    ("mnist", "A", "none", "none"): (0.985, 1.0),       # clean ~0.997
+    ("mnist", "A", "fgsm", "none"): (0.0, 0.35),        # ~0.22
+    ("mnist", "A", "fgsm", "defense_gan"): (0.975, 1.0),   # ~0.988
+    ("mnist", "A", "fgsm", "adv_tr"): (0.50, 0.80),     # ~0.65
+    ("mnist", "A", "rand_fgsm", "defense_gan"): (0.965, 1.0),  # ~0.98
+    ("mnist", "A", "cw", "defense_gan"): (0.965, 1.0),  # ~0.98-0.99
+    ("f-mnist", "A", "none", "none"): (0.88, 1.0),
+    ("f-mnist", "A", "fgsm", "none"): (0.0, 0.30),      # ~0.1
+    ("f-mnist", "A", "fgsm", "defense_gan"): (0.85, 1.0),  # ~0.88-0.90
+    # black-box rows: key = (dataset, sub_model, "blackbox", defense)
+    ("mnist", "B", "blackbox", "none"): (0.0, 0.6),     # ~0.2-0.5
+    ("mnist", "B", "blackbox", "defense_gan"): (0.90, 1.0),  # ~0.92-0.96
+    ("mnist", "E", "blackbox", "defense_gan"): (0.90, 1.0),
+}
+# generic pattern bands for non-A models on real data
+GENERIC = {
+    ("none", "none"): (0.90, 1.0),
+    ("fgsm", "none"): (0.0, 0.45),
+    ("fgsm", "defense_gan"): (0.85, 1.0),
+    ("rand_fgsm", "defense_gan"): (0.85, 1.0),
+    ("cw", "defense_gan"): (0.85, 1.0),
+}
+
+
+def band_for(dataset, model, attack, defense):
+    key = (dataset, model, attack, defense)
+    if key in PARITY:
+        return PARITY[key]
+    if model != "A" and dataset == "mnist":
+        return GENERIC.get((attack, defense))
+    return None
+
+
+def cell_value(record, attack, defense):
+    if attack == "none":
+        return record["clean_acc"]
+    if defense == "none":
+        return record["adv_acc_no_defense"]
+    return record["defended_acc"]
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--datasets", nargs="+", default=["mnist", "f-mnist"],
+                    choices=sorted(CFGS))
+    ap.add_argument("--models", nargs="+",
+                    default=["A", "B", "C", "D", "E", "F"])
+    ap.add_argument("--attacks", nargs="+",
+                    default=["fgsm", "rand_fgsm", "cw"])
+    ap.add_argument("--num_tests", type=int, default=512)
+    ap.add_argument("--train_iters", type=int, default=20000,
+                    help="GAN training steps when no checkpoint exists")
+    ap.add_argument("--classifier_epochs", type=int, default=10)
+    ap.add_argument("--cw_max_iterations", type=int, default=1000)
+    ap.add_argument("--cw_binary_search_steps", type=int, default=5)
+    ap.add_argument("--attack_rec_iters", type=int, default=200)
+    ap.add_argument("--sub_models", nargs="+", default=["B", "E"])
+    ap.add_argument("--quick", action="store_true",
+                    help="model A only, 128 tests, CW 100 iters")
+    ap.add_argument("--results_dir", default="output/results")
+    args = ap.parse_args()
+    if args.quick:
+        args.models = ["A"]
+        args.num_tests = 128
+        args.cw_max_iterations = 100
+        args.cw_binary_search_steps = 3
+        args.attack_rec_iters = 50
+        args.sub_models = ["B"]
+
+    from defensegan_tpu.cli import blackbox, train, whitebox
+    from defensegan_tpu.configs import load_config
+    from defensegan_tpu.data import get_dataset
+    from defensegan_tpu.data.fetch import maybe_download
+
+    rows = []
+    any_fail = False
+    all_real = True
+    t_start = time.time()
+    for dataset in args.datasets:
+        print("=" * 72, f"\n[{dataset}] data", "\n" + "=" * 72)
+        maybe_download(dataset)
+        ds = get_dataset(dataset)
+        real = ds._load_real("test") is not None
+        all_real &= real
+        print(f"[{dataset}] real data: {real}"
+              + ("" if real else "  (synthetic fallback -> QUALITATIVE run)"))
+
+        cfg_path = os.path.join(CFG_DIR, CFGS[dataset])
+        cfg = load_config(cfg_path)
+        gan_dir = cfg.output_dir
+        from defensegan_tpu.ckpt import latest_step
+        if latest_step(gan_dir) is None:
+            print(f"[{dataset}] no GAN checkpoint -> training "
+                  f"{args.train_iters} steps")
+            train.main(["--cfg", cfg_path, "--is_train",
+                        "--train_iters", str(args.train_iters),
+                        "--override", "SAVE_EVERY=5000",
+                        "--override", "SAMPLE_EVERY=5000"])
+        else:
+            print(f"[{dataset}] reusing GAN checkpoint in {gan_dir} "
+                  f"(step {latest_step(gan_dir)})")
+
+        # ---- white-box table
+        for model in args.models:
+            # clean row (attack none, defense none)
+            rec = whitebox.main(["--cfg", gan_dir, "--attack_type", "none",
+                                 "--defense_type", "none",
+                                 "--model", model,
+                                 "--num_tests", str(args.num_tests),
+                                 "--classifier_epochs",
+                                 str(args.classifier_epochs)])
+            rows.append((dataset, model, "none", "none",
+                         cell_value(rec, "none", "none"), real))
+            for attack in args.attacks:
+                for defense in ("none", "defense_gan", "adv_tr"):
+                    if attack != "fgsm" and defense == "adv_tr":
+                        continue  # paper reports adv_tr under FGSM only
+                    argv = ["--cfg", gan_dir, "--attack_type", attack,
+                            "--defense_type", defense, "--model", model,
+                            "--num_tests", str(args.num_tests),
+                            "--classifier_epochs",
+                            str(args.classifier_epochs),
+                            "--attack_rec_iters",
+                            str(args.attack_rec_iters)]
+                    if attack == "cw":
+                        argv += ["--cw_max_iterations",
+                                 str(args.cw_max_iterations),
+                                 "--cw_binary_search_steps",
+                                 str(args.cw_binary_search_steps),
+                                 "--num_tests",
+                                 str(min(args.num_tests, 256))]
+                    rec = whitebox.main(argv)
+                    rows.append((dataset, model, attack, defense,
+                                 cell_value(rec, attack, defense), real))
+
+        # ---- black-box substitutes
+        if dataset == "mnist":
+            for sub in args.sub_models:
+                for defense in ("none", "defense_gan"):
+                    rec = blackbox.main(
+                        ["--cfg", gan_dir, "--bb_model", "A",
+                         "--sub_model", sub,
+                         "--num_tests", str(args.num_tests),
+                         "--classifier_epochs",
+                         str(args.classifier_epochs),
+                         "--defense_type", defense])
+                    val = rec["defended_acc"] if defense != "none" \
+                        else rec["adv_acc_no_defense"]
+                    rows.append((dataset, sub, "blackbox", defense, val,
+                                 real))
+
+    # ---- report
+    os.makedirs(args.results_dir, exist_ok=True)
+    lines = ["# Parity report",
+             f"generated by scripts/parity.py in {time.time()-t_start:.0f}s",
+             ""]
+    if not all_real:
+        lines += ["**QUALITATIVE RUN — synthetic fallback data was used for "
+                  "at least one dataset; cells are NOT parity evidence "
+                  "(BASELINE.md caveat: paper numbers need the real IDX "
+                  "files).**", ""]
+    lines += ["| dataset | model | attack | defense | accuracy | expected "
+              "| verdict |", "|---|---|---|---|---|---|---|"]
+    checked = passed = 0
+    for dataset, model, attack, defense, val, real in rows:
+        band = band_for(dataset, model, attack, defense)
+        if band is None or val is None:
+            verdict, exp = "—", "—"
+        elif not real:
+            verdict = "qualitative"
+            exp = f"[{band[0]:.2f}, {band[1]:.2f}]"
+        else:
+            checked += 1
+            ok = band[0] <= val <= band[1]
+            passed += ok
+            any_fail |= not ok
+            verdict = "PASS" if ok else "**FAIL**"
+            exp = f"[{band[0]:.2f}, {band[1]:.2f}]"
+        v = "—" if val is None else f"{val:.4f}"
+        lines.append(f"| {dataset} | {model} | {attack} | {defense} "
+                     f"| {v} | {exp} | {verdict} |")
+    lines += ["", f"checked cells: {checked}, passed: {passed}" if all_real
+              else "no parity cells checked (synthetic data)"]
+    report = "\n".join(lines)
+    with open(os.path.join(args.results_dir, "parity.md"), "w") as f:
+        f.write(report + "\n")
+    with open(os.path.join(args.results_dir, "parity.json"), "w") as f:
+        json.dump([{"dataset": d, "model": m, "attack": a, "defense": de,
+                    "accuracy": v, "real_data": r}
+                   for d, m, a, de, v, r in rows], f, indent=1)
+    print(report)
+    print(f"\nwrote {args.results_dir}/parity.md")
+    sys.exit(1 if (all_real and any_fail) else 0)
+
+
+if __name__ == "__main__":
+    main()

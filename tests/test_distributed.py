@@ -9,6 +9,7 @@ equality with the single-device step."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from defensegan_tpu.gan.train import (build_optimizers, init_gan_state,
                                       make_train_step)
@@ -34,6 +35,24 @@ def _setup(key=0):
 def test_initialize_distributed_single_process_noop():
     pid, count = initialize_distributed()
     assert pid == 0 and count == 1
+
+
+@pytest.mark.slow
+def test_two_process_multihost_smoke():
+    """Real multi-process path: 2 OS processes + jax.distributed merge into
+    one 8-device mesh running the shard_map step (slow ~1 min)."""
+    import os
+    import subprocess
+    import sys
+
+    script = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts", "multihost_smoke.py")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYTHONPATH"] = ""
+    out = subprocess.run([sys.executable, script], env=env, timeout=600,
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "MULTIHOST_OK processes=2 devices=8" in out.stdout
 
 
 def test_shard_map_step_runs_and_replicates(eight_devices):
