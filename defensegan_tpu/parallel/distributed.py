@@ -70,19 +70,17 @@ def make_shard_map_train_step(generator, critic, gen_tx, disc_tx, *,
     with state replicated and the batch sharded on axis 1. Gradients/BN
     stats/metrics are pmean'd inside (gan/train.py axis_name path).
     """
-    from jax.experimental.shard_map import shard_map
-
     from defensegan_tpu.gan.train import make_train_step
 
     step = make_train_step(generator, critic, gen_tx, disc_tx,
                            latent_dim=latent_dim, disc_iters=disc_iters,
                            gp_lambda=gp_lambda, axis_name=DATA_AXIS)
 
-    sharded = shard_map(
+    sharded = jax.shard_map(
         step, mesh=mesh,
         in_specs=(P(), P(None, DATA_AXIS), P()),
         out_specs=(P(), P()),
-        check_rep=False)  # outputs ARE replicated (pmean'd grads), but the
+        check_vma=False)  # outputs ARE replicated (pmean'd grads), but the
     #                       optimizer update is too complex for rep checking
     return jax.jit(sharded)
 

@@ -82,17 +82,34 @@ def main():
         time_step("flax (baseline)", momentum_step(jax.grad(flax_loss)),
                   carry, n)
 
-        # packed conv, IMAGE-shaped x (no flat reshape in the loop)
-        packed = pack_generator(gan.generator, gan.state.gen_params,
-                                gan.state.gen_stats, variant="conv")
-        apply_flat = make_packed_apply(packed)
+        # packed variants: BN folded; hybrid additionally materializes the
+        # final Cout=1 deconv (pathological MXU utilization as a conv) as a
+        # dense [12544, 784] matmul
+        for variant in ("conv", "phase", "hybrid"):
+            apply_flat = make_packed_apply(pack_generator(
+                gan.generator, gan.state.gen_params, gan.state.gen_stats,
+                variant=variant))
 
-        def packed_loss_flat(zz):
-            d = (apply_flat(zz) - x_flat).astype(jnp.float32)
-            return jnp.sum(jnp.mean(d * d, axis=1))
+            def packed_loss_flat(zz, apply_flat=apply_flat):
+                d = (apply_flat(zz) - x_flat).astype(jnp.float32)
+                return jnp.sum(jnp.mean(d * d, axis=1))
 
-        time_step("packed conv (flat x)",
-                  momentum_step(jax.grad(packed_loss_flat)), carry, n)
+            time_step(f"packed {variant} (flat x)",
+                      momentum_step(jax.grad(packed_loss_flat)), carry, n)
+
+            for pname, policy in (
+                    ("nothing_saveable",
+                     jax.checkpoint_policies.nothing_saveable),
+                    ("dots_saveable", jax.checkpoint_policies.dots_saveable),
+            ):
+                apply_r = jax.checkpoint(apply_flat, policy=policy)
+
+                def packed_loss_r(zz, apply_r=apply_r):
+                    d = (apply_r(zz) - x_flat).astype(jnp.float32)
+                    return jnp.sum(jnp.mean(d * d, axis=1))
+
+                time_step(f"packed {variant} remat {pname}",
+                          momentum_step(jax.grad(packed_loss_r)), carry, n)
 
         # remat variants on the flax apply
         for pname, policy in (

@@ -55,9 +55,13 @@ def main():
     x = jax.random.uniform(jax.random.fold_in(key, 99),
                            (BATCH,) + cfg.image_shape, jnp.float32)
 
-    # XLA reference (shipped path) for both perf + numerics
-    recon_s, _ = bench(lambda xx, kk: gan.reconstruct(xx, kk), x, key)
-    print(f"xla reconstruct: {recon_s:8.1f} recon/s", flush=True)
+    # XLA + packed references for both perf + numerics (explicit kernels:
+    # "auto" resolves to packed for the wide arch, so label both honestly)
+    for kern in ("xla", "packed"):
+        cfg.projection_kernel = kern
+        recon_s, _ = bench(lambda xx, kk: gan.reconstruct(xx, kk), x, key)
+        print(f"{kern} reconstruct: {recon_s:8.1f} recon/s", flush=True)
+    cfg.projection_kernel = "xla"
     ref = gan.reconstruct(x[:512], jax.random.fold_in(key, 7))
     ref_arg = np.asarray(ref.all_losses).argmin(1)
 

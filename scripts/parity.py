@@ -174,7 +174,7 @@ def main():
         # ---- black-box substitutes
         if dataset == "mnist":
             for sub in args.sub_models:
-                for defense in ("none", "defense_gan"):
+                for defense in ("none", "defense_gan", "adv_tr"):
                     rec = blackbox.main(
                         ["--cfg", gan_dir, "--bb_model", "A",
                          "--sub_model", sub,
