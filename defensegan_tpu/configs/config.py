@@ -59,6 +59,9 @@ class Config:
     #   packed = BN-folded flat-space generator (defense/fastgen.py)
     #   pallas = fused on-chip RxL loop (fused_projection[_v2].py);
     #            falls back to xla when the topology isn't covered
+    packed_variant: str = "auto"     # PACKED_VARIANT (kernel=packed):
+    #   auto = conv for wide archs, s2d for two-deconv deep archs
+    #   conv | phase | dense | hybrid | s2d (defense/fastgen.py docstring)
     seed: int = 0                    # SEED
     mesh_data_axis: int = -1         # MESH_DATA_AXIS: -1 = all local devices
 

@@ -24,6 +24,18 @@ generators in three TPU-oriented forms:
   variant="hybrid" inner deconvs stay convs; only the FINAL deconv (1 or 3
                    output channels — pathological MXU utilization as a conv)
                    is materialized dense. Works for both archs.
+  variant="s2d"    (two-deconv deep archs, e.g. MNIST 7->14->28) the WHOLE
+                   stack stays on the base grid in space-to-depth form:
+                   each stride-2 deconv becomes a plain 3x3 stride-1 conv
+                   whose channels carry the sub-pixel phases (128 -> 4*64
+                   -> 16*1 for MNIST deep), and the pixel un-shuffle is a
+                   single flat permutation applied OUTSIDE the hot loop.
+                   MSE is permutation-invariant, so the projection loop can
+                   run entirely in s2d space: zero interleaves, zero input
+                   dilation, every op an MXU-friendly wide-channel conv.
+                   Kernels are built by probing the exact linear map, so
+                   equality to flax holds to dtype rounding (incl. the
+                   zero-padding boundary behavior).
 
 All variants are numerically equivalent to `generator.apply(train=False)` up
 to dtype rounding (exact in float32 — see tests/test_fastgen.py).
@@ -119,6 +131,9 @@ class PackedGenerator(NamedTuple):
     """BN-folded generator weights + static topology info.
 
     apply_flat(z [N,k]) -> tanh images [N, H*W*C] (see make_packed_apply).
+    For variant="s2d" the flat output is in space-to-depth pixel order;
+    `perm`/`inv_perm` map image-flat -> s2d-flat and back (img[:, perm] is
+    the s2d-ordered view; s2d[:, inv_perm] restores image order).
     """
 
     variant: str
@@ -130,6 +145,53 @@ class PackedGenerator(NamedTuple):
     convs: Tuple                      # per deconv: PhaseConv | (kernel, bias)
     dense: Tuple                      # ('dense' only) (D [F, HWC], bD [HWC])
     dtype: jnp.dtype
+    perm: Tuple = ()                  # ('s2d' only) (perm, inv_perm) int32
+
+
+def _s2d(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """[N, H, W, C] -> [N, H/f, W/f, f*f*C] space-to-depth (phase-major)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // f, f, w // f, f, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // f, w // f,
+                                                 f * f * c)
+
+
+def _s2d_inv(x: jnp.ndarray, f: int, c: int) -> jnp.ndarray:
+    """Inverse of _s2d: [N, g, g, f*f*C] -> [N, g*f, g*f, C]."""
+    n, g, _, _ = x.shape
+    x = x.reshape(n, g, g, f, f, c).transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, g * f, g * f, c)
+
+
+def _s2d_flat_perm(hw: int, f: int, c: int) -> np.ndarray:
+    """Gather indices: img_flat[:, perm] == s2d_flat (both row-major)."""
+    idx = np.arange(hw * hw * c).reshape(1, hw, hw, c)
+    return np.asarray(_s2d(jnp.asarray(idx), f)).reshape(-1)
+
+
+def _probe_grid_conv(lin_fn, g: int, cin: int, window: int = 3):
+    """Extract the [window, window, cin, cout] SAME-conv kernel of a linear,
+    translation-equivariant (zero boundary) map on a [*, g, g, cin] grid.
+
+    Probes with center deltas; asserts the response support fits the window
+    (a wrong window size fails loudly instead of silently truncating).
+    """
+    y0 = g // 2
+    r = window // 2
+    basis = np.zeros((cin, g, g, cin), np.float32)
+    basis[np.arange(cin), y0, y0, np.arange(cin)] = 1.0
+    out = np.asarray(lin_fn(jnp.asarray(basis)))      # [cin, g, g, cout]
+    mask = np.ones((g, g), bool)
+    mask[y0 - r:y0 + r + 1, y0 - r:y0 + r + 1] = False
+    spill = np.abs(out[:, mask, :]).max() if mask.any() else 0.0
+    if spill > 0:
+        raise ValueError(f"conv support exceeds window={window} "
+                         f"(max spill {spill:.2e}); widen the window")
+    kern = np.zeros((window, window, cin, out.shape[-1]), np.float32)
+    for dy in range(window):
+        for dx in range(window):
+            kern[dy, dx] = out[:, y0 + r - dy, y0 + r - dx, :]
+    return kern
 
 
 def pack_generator(generator: Generator, params: dict, batch_stats: dict,
@@ -140,7 +202,7 @@ def pack_generator(generator: Generator, params: dict, batch_stats: dict,
     evaluates inside reconstruct() (models/gan.py ~L350-500); folding is
     exact because inference BN is affine.
     """
-    if variant not in ("conv", "phase", "dense", "hybrid"):
+    if variant not in ("conv", "phase", "dense", "hybrid", "s2d"):
         raise ValueError(f"unknown packed variant {variant!r}")
     dtype = generator.dtype
     c0 = generator.channels[0]
@@ -172,6 +234,39 @@ def pack_generator(generator: Generator, params: dict, batch_stats: dict,
     out_hw = generator.output_hw
     out_c = generator.out_channels
     dense = ()
+    perm = ()
+    if variant == "s2d":
+        if n_blocks > 1:
+            raise ValueError(
+                "variant='s2d' covers stacks of at most two deconvs (the "
+                "s2d kernel density grows 4x per extra level); got "
+                f"{n_blocks + 1}")
+        s2d_convs = []
+        f_in, cin = 1, c0
+        for kern_np, bias_np, relu in convs:
+            f_out = 2 * f_in
+            kern_j = jnp.asarray(kern_np, jnp.float32)
+
+            def lin_fn(x, kern_j=kern_j, f_in=f_in, cin=cin, f_out=f_out):
+                h = _s2d_inv(x, f_in, cin) if f_in > 1 else x
+                y = jax.lax.conv_transpose(
+                    h, kern_j, strides=(2, 2), padding="SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+                return _s2d(y, f_out)
+
+            k_s2d = _probe_grid_conv(lin_fn, hw, f_in * f_in * cin)
+            b_s2d = np.tile(np.asarray(bias_np, np.float32), f_out * f_out)
+            s2d_convs.append((jnp.asarray(k_s2d, dtype),
+                              jnp.asarray(b_s2d, dtype), relu))
+            f_in, cin = f_out, kern_np.shape[3]
+        packed_convs: Tuple = tuple(s2d_convs)
+        perm_np = _s2d_flat_perm(out_hw, f_in, out_c)
+        perm = (jnp.asarray(perm_np, jnp.int32),
+                jnp.asarray(np.argsort(perm_np), jnp.int32))
+        return PackedGenerator(variant=variant, base_hw=hw, out_hw=out_hw,
+                               out_channels=out_c, w_fc=w_fc, b_fc=b_fc,
+                               convs=packed_convs, dense=dense, dtype=dtype,
+                               perm=perm)
     if variant in ("dense", "hybrid"):
         if variant == "dense" and n_blocks != 0:
             raise ValueError("variant='dense' covers the single-deconv wide "
@@ -222,6 +317,25 @@ def make_packed_apply(packed: PackedGenerator) -> Callable:
                 z.astype(packed.dtype) @ packed.w_fc + packed.b_fc, 0)
             o = h @ d_mat + b_d
             return jnp.tanh(o).astype(jnp.float32)
+
+        return apply_flat
+
+    if packed.variant == "s2d":
+        # whole stack on the base grid: stride-1 SAME convs over s2d
+        # channels; output stays in s2d pixel order (packed.perm maps it)
+        def apply_flat(z):
+            h = z.astype(packed.dtype) @ packed.w_fc + packed.b_fc
+            h = jnp.maximum(h, 0)
+            c0_ = packed.w_fc.shape[1] // (hw * hw)
+            h = h.reshape(h.shape[0], hw, hw, c0_)
+            for kern, bias, relu in packed.convs:
+                h = jax.lax.conv_general_dilated(
+                    h, kern, window_strides=(1, 1), padding="SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+                if relu:
+                    h = jnp.maximum(h, 0)
+            out = jnp.tanh(h).astype(jnp.float32)
+            return out.reshape(out.shape[0], -1)
 
         return apply_flat
 

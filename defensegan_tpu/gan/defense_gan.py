@@ -129,22 +129,40 @@ class DefenseGAN:
             # BN-folded packed generator on the FLAT image space
             # (defense/fastgen.py): fewer ops for XLA to schedule, no
             # reshapes in the hot loop; weights are captured at build time
-            # (caches cleared on train/load)
-            sig = ("packed", rr, iters, lr, back_prop)
+            # (caches cleared on train/load). For s2d the loop runs in
+            # space-to-depth pixel order (MSE is permutation-invariant) and
+            # the un-shuffle costs one gather outside the loop.
+            variant = cfg.packed_variant
+            if variant == "auto":
+                variant = ("conv" if cfg.gen_arch == "wide"
+                           else "s2d" if len(self.generator.channels) == 2
+                           else "conv")
+            sig = ("packed", variant, rr, iters, lr, back_prop)
             if sig not in self._reconstructors:
-                from defensegan_tpu.defense.fastgen import packed_apply_for
-                apply_flat = packed_apply_for(self, variant="conv")
+                from defensegan_tpu.defense.fastgen import (make_packed_apply,
+                                                            pack_generator)
+                packed = pack_generator(self.generator,
+                                        self.state.gen_params,
+                                        self.state.gen_stats,
+                                        variant=variant)
+                apply_flat = make_packed_apply(packed)
+                perm = packed.perm
                 img_shape = cfg.image_shape
 
                 @jax.jit
                 def run(x, z0):
                     x_flat = x.reshape(x.shape[0], -1)
+                    if perm:
+                        x_flat = x_flat[:, perm[0]]
                     res = reconstruct(apply_flat, x_flat, z0,
                                       rec_iters=iters, rec_lr=lr,
                                       momentum=cfg.rec_momentum,
                                       back_prop=back_prop,
                                       unroll=cfg.rec_unroll)
-                    return res._replace(x_hat=res.x_hat.reshape(
+                    x_hat = res.x_hat
+                    if perm:
+                        x_hat = x_hat[:, perm[1]]
+                    return res._replace(x_hat=x_hat.reshape(
                         (x.shape[0],) + tuple(img_shape)))
                 self._reconstructors[sig] = run
             z0 = sample_z0(key, x.shape[0], rr, cfg.latent_dim)

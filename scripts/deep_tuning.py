@@ -82,53 +82,50 @@ def main():
         time_step("flax (baseline)", momentum_step(jax.grad(flax_loss)),
                   carry, n)
 
-        # packed variants: BN folded; hybrid additionally materializes the
-        # final Cout=1 deconv (pathological MXU utilization as a conv) as a
-        # dense [12544, 784] matmul
-        for variant in ("conv", "phase", "hybrid"):
-            apply_flat = make_packed_apply(pack_generator(
-                gan.generator, gan.state.gen_params, gan.state.gen_stats,
-                variant=variant))
+        # measured 2026-08-16 (N=40960): conv 809, phase 458, hybrid 565,
+        # best remat variant 849 — nothing beats the 865 flax baseline, so
+        # the sweep now focuses on the s2d rewrite (whole stack as stride-1
+        # wide-channel convs on the 7x7 grid, pixel-shuffle folded into a
+        # flat permutation outside the loop; MSE is permutation-invariant)
+        packed = pack_generator(gan.generator, gan.state.gen_params,
+                                gan.state.gen_stats, variant="conv")
+        apply_flat = make_packed_apply(packed)
 
-            def packed_loss_flat(zz, apply_flat=apply_flat):
-                d = (apply_flat(zz) - x_flat).astype(jnp.float32)
-                return jnp.sum(jnp.mean(d * d, axis=1))
+        def packed_loss_flat(zz):
+            d = (apply_flat(zz) - x_flat).astype(jnp.float32)
+            return jnp.sum(jnp.mean(d * d, axis=1))
 
-            time_step(f"packed {variant} (flat x)",
-                      momentum_step(jax.grad(packed_loss_flat)), carry, n)
+        time_step("packed conv (flat x)",
+                  momentum_step(jax.grad(packed_loss_flat)), carry, n)
 
-            for pname, policy in (
-                    ("nothing_saveable",
-                     jax.checkpoint_policies.nothing_saveable),
-                    ("dots_saveable", jax.checkpoint_policies.dots_saveable),
-            ):
-                apply_r = jax.checkpoint(apply_flat, policy=policy)
+        s2d = pack_generator(gan.generator, gan.state.gen_params,
+                             gan.state.gen_stats, variant="s2d")
+        apply_s2d = make_packed_apply(s2d)
+        x_s2d = x_flat[:, s2d.perm[0]]
 
-                def packed_loss_r(zz, apply_r=apply_r):
-                    d = (apply_r(zz) - x_flat).astype(jnp.float32)
-                    return jnp.sum(jnp.mean(d * d, axis=1))
+        def s2d_loss(zz):
+            d = (apply_s2d(zz) - x_s2d).astype(jnp.float32)
+            return jnp.sum(jnp.mean(d * d, axis=1))
 
-                time_step(f"packed {variant} remat {pname}",
-                          momentum_step(jax.grad(packed_loss_r)), carry, n)
+        for unroll in (8, 16):
+            @jax.jit
+            def run_s2d(carry, unroll=unroll):
+                def f(c, _):
+                    return momentum_step(jax.grad(s2d_loss))(c), None
+                c, _ = jax.lax.scan(f, carry, None, length=K, unroll=unroll)
+                return jnp.sum(c[0])
 
-        # remat variants on the flax apply
-        for pname, policy in (
-                ("nothing_saveable",
-                 jax.checkpoint_policies.nothing_saveable),
-                ("dots_saveable", jax.checkpoint_policies.dots_saveable),
-        ):
-            gen_r = jax.checkpoint(gan.gen_apply_tanh, policy=policy)
-
-            def remat_loss(zz, gen_r=gen_r):
-                d = (gen_r(zz) - x_img).astype(jnp.float32)
-                return jnp.sum(jnp.mean(d * d, axis=(1, 2, 3)))
-
-            time_step(f"flax remat {pname}",
-                      momentum_step(jax.grad(remat_loss)), carry, n)
-
-        if n == 40960:
-            # latency-hiding flag experiment marker (set via env at launch)
-            pass
+            import time as _t
+            float(run_s2d(carry))
+            best = float("inf")
+            for _ in range(3):
+                t0 = _t.perf_counter()
+                float(run_s2d(carry))
+                best = min(best, _t.perf_counter() - t0)
+            per = best / K
+            print(f"{'packed s2d unroll=' + str(unroll):36s} "
+                  f"{per * 1e3:8.3f} ms/step   "
+                  f"implied {(n / R) / (L * per):7.1f} recon/s", flush=True)
 
 
 if __name__ == "__main__":

@@ -42,8 +42,8 @@ def test_phase_decompose_matches_conv_transpose():
 
 
 @pytest.mark.parametrize("dataset,arch,variants", [
-    ("mnist", "deep", ("conv", "phase", "hybrid")),
-    ("mnist", "wide", ("conv", "phase", "dense", "hybrid")),
+    ("mnist", "deep", ("conv", "phase", "hybrid", "s2d")),
+    ("mnist", "wide", ("conv", "phase", "dense", "hybrid", "s2d")),
     ("celeba", "deep", ("conv", "phase", "hybrid")),
     ("celeba", "wide", ("conv", "phase", "hybrid")),
 ])
@@ -57,8 +57,26 @@ def test_packed_matches_flax(dataset, arch, variants):
     for variant in variants:
         packed = pack_generator(gen, params, stats, variant=variant)
         got = np.asarray(make_packed_apply(packed)(z))
+        if variant == "s2d":
+            got = got[:, np.asarray(packed.perm[1])]  # s2d -> image order
         np.testing.assert_allclose(got, want_flat, atol=2e-5, rtol=1e-4,
                                    err_msg=f"variant={variant}")
+
+
+def test_s2d_rejects_deep_celeba_stack():
+    gen = generator_for("celeba", dim=8, dtype=jnp.float32, arch="deep")
+    params, stats = _init_gen(gen, jax.random.key(0))
+    with pytest.raises(ValueError, match="s2d"):
+        pack_generator(gen, params, stats, variant="s2d")
+
+
+def test_s2d_perm_roundtrip():
+    gen = generator_for("mnist", dim=8, dtype=jnp.float32, arch="deep")
+    params, stats = _init_gen(gen, jax.random.key(0))
+    packed = pack_generator(gen, params, stats, variant="s2d")
+    perm, inv = (np.asarray(p) for p in packed.perm)
+    assert (perm[inv] == np.arange(perm.size)).all()
+    assert (inv[perm] == np.arange(perm.size)).all()
 
 
 def test_dense_rejects_multi_block():

@@ -28,7 +28,8 @@ def test_packed_matches_xla_reconstruct(tmp_path):
         # identical weights: same seed init
         ref = gan_x.reconstruct(x, key)
         got = gan_p.reconstruct(x, key)
-        assert ("packed", 3, 10, gan_p.cfg.rec_lr, False) \
+        variant = "conv" if arch == "wide" else "s2d"  # auto resolution
+        assert ("packed", variant, 3, 10, gan_p.cfg.rec_lr, False) \
             in gan_p._reconstructors
         np.testing.assert_array_equal(
             np.asarray(ref.all_losses).argmin(1),
