@@ -69,9 +69,13 @@ def main():
 
     kernel = args.kernel
     if kernel == "auto":
-        # same resolution DefenseGAN.reconstruct applies: packed wins for
-        # the wide arch, xla for deep (RESULTS.md round-2 measurements)
-        kernel = "packed" if cfg.gen_arch == "wide" else "xla"
+        # same resolution DefenseGAN.reconstruct applies: the fused Pallas
+        # kernels (v2 wide / v3 deep) win on the chip; XLA paths elsewhere
+        # (RESULTS.md round-2 measurements)
+        if jax.default_backend() in ("tpu", "axon"):
+            kernel = "pallas"
+        else:
+            kernel = "packed" if cfg.gen_arch == "wide" else "xla"
 
     key = jax.random.key(0)
     kx, kz = jax.random.split(key)

@@ -54,10 +54,13 @@ class Config:
     # --- compute ---
     compute_dtype: str = "bfloat16"  # COMPUTE_DTYPE: float32 | bfloat16
     projection_kernel: str = "auto"  # PROJECTION_KERNEL:
-    #   auto   = packed for wide archs, xla for deep (measured on v5e)
+    #   auto   = on TPU the fused Pallas kernels (v2 wide / v3 deep, both
+    #            beat XLA on the v5e — RESULTS.md round 2); off-TPU and
+    #            for back_prop graphs: packed (wide) / xla (deep)
     #   xla    = flax generator in the lax.scan loop
     #   packed = BN-folded flat-space generator (defense/fastgen.py)
-    #   pallas = fused on-chip RxL loop (fused_projection[_v2].py);
+    #   pallas = fused on-chip RxL loop (fused_projection_v2/_v3.py; the
+    #            round-1 v1 kernel only on this explicit setting);
     #            falls back to xla when the topology isn't covered
     packed_variant: str = "auto"     # PACKED_VARIANT (kernel=packed):
     #   auto = conv for wide archs, s2d for two-deconv deep archs

@@ -97,32 +97,51 @@ class DefenseGAN:
         lr = rec_lr if rec_lr is not None else cfg.rec_lr
         key = key if key is not None else jax.random.key(cfg.seed + 1)
 
-        kernel = cfg.projection_kernel
+        explicit = cfg.projection_kernel
+        kernel = explicit
         if kernel == "auto":
-            # measured on the v5e (RESULTS.md round 2): the BN-folded packed
-            # apply wins for the wide arch; the flax/XLA path for deep
-            kernel = "packed" if cfg.gen_arch == "wide" else "xla"
+            # measured on the v5e (RESULTS.md round 2): the fused Pallas
+            # kernels win outright (wide: v2 3669 vs 2570 xla; deep: v3
+            # 1122 vs 896 xla); back_prop (white-box attack graphs) stays
+            # on the differentiable XLA path. Off-TPU there is no Mosaic —
+            # fall back to the fastest XLA paths.
+            on_tpu = jax.default_backend() in ("tpu", "axon")
+            if back_prop or not on_tpu:
+                kernel = "packed" if cfg.gen_arch == "wide" else "xla"
+            else:
+                kernel = "pallas"
 
-        if (kernel == "pallas" and not back_prop and lr == cfg.rec_lr):
+        if kernel == "pallas" and not back_prop:
             from defensegan_tpu.kernels import (
                 dense_kernel_available, make_pallas_dense_reconstructor,
-                make_pallas_reconstructor, projection_kernel_available)
-            if dense_kernel_available(self) and (x.shape[0] * rr) % 512 == 0:
+                make_pallas_reconstructor, make_pallas_s2d_reconstructor,
+                projection_kernel_available, s2d_kernel_available)
+            n = x.shape[0] * rr
+            if dense_kernel_available(self) and n % 256 == 0:
                 sig = ("pallas-v2", rr, iters, lr)
                 if sig not in self._reconstructors:
                     self._reconstructors[sig] = \
                         make_pallas_dense_reconstructor(
                             self, rec_rr=rr, rec_iters=iters, rec_lr=lr,
-                            momentum=cfg.rec_momentum, tile=512)
+                            momentum=cfg.rec_momentum, tile=256)
                 return self._reconstructors[sig](x, key)
-            tile = 32
-            if (projection_kernel_available(self)
-                    and (x.shape[0] * rr) % tile == 0):
+            if s2d_kernel_available(self) and n % 64 == 0:
+                sig = ("pallas-v3", rr, iters, lr)
+                if sig not in self._reconstructors:
+                    self._reconstructors[sig] = \
+                        make_pallas_s2d_reconstructor(
+                            self, rec_rr=rr, rec_iters=iters, rec_lr=lr,
+                            momentum=cfg.rec_momentum, tile=64)
+                return self._reconstructors[sig](x, key)
+            if (explicit == "pallas" and projection_kernel_available(self)
+                    and n % 32 == 0):
+                # v1 (round-1 tap-loop kernel) only on explicit request —
+                # it loses to xla (RESULTS.md); kept as a reference
                 sig = ("pallas", rr, iters, lr)
                 if sig not in self._reconstructors:
                     self._reconstructors[sig] = make_pallas_reconstructor(
                         self, rec_rr=rr, rec_iters=iters, rec_lr=lr,
-                        momentum=cfg.rec_momentum, tile=tile)
+                        momentum=cfg.rec_momentum, tile=32)
                 return self._reconstructors[sig](x, key)
 
         if kernel == "packed":

@@ -22,6 +22,10 @@ from defensegan_tpu.kernels.fused_projection_v2 import (
     dense_kernel_available,
     make_pallas_dense_reconstructor,
 )
+from defensegan_tpu.kernels.fused_projection_v3 import (
+    make_pallas_s2d_reconstructor,
+    s2d_kernel_available,
+)
 
 
 def make_matmul_reconstructor(gan, *, rec_rr: int, rec_iters: int,
@@ -65,4 +69,6 @@ __all__ = [
     "make_pallas_reconstructor",
     "dense_kernel_available",
     "make_pallas_dense_reconstructor",
+    "s2d_kernel_available",
+    "make_pallas_s2d_reconstructor",
 ]

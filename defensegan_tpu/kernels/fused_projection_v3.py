@@ -18,12 +18,12 @@ relayout/latency-bound. v3 eliminates both bottlenecks by construction:
     permutation-invariant so the loop never leaves s2d space;
   - activations live in PIXEL-MAJOR row layout [49*T, C] (row = pixel*T +
     latent, lanes = channels), so a 3x3-conv tap is a MATMUL plus a static
-    row-roll (pltpu.roll) with a precomputed 0/1 row mask for the grid
-    boundary. Roll commutes with row-wise matmul, so the narrower operand
-    is always the one rolled;
+    row shift (slice + zero concat) with a precomputed 0/1 row mask for
+    the grid boundary. Shifting commutes with row-wise matmul, so the
+    narrower operand is always the one shifted;
   - the second conv's 16 output channels (pathological MXU lane use) are
-    packed tap-major into one [256, 144] matmul, sliced and rolled on the
-    VPU afterwards;
+    packed tap-major into one [256, 144] matmul, sliced and shifted on
+    the VPU afterwards;
   - everything (z, v, h0, h1, weights, masks, x) stays in VMEM across all
     L steps: HBM traffic per tile = read z0/x once + write z_final once.
 
@@ -38,7 +38,8 @@ Index conventions (g = 7, T = tile):
   conv bwd:  din[p] += dout[p - off_k] @ W_k^T  (valid iff p-off in grid,
              which is tap 8-k's validity mask: the offsets list is
              symmetric under negation).
-  pltpu.roll(v, s, 0)[r] == v[r - s], so "read p + off" = roll by -off.
+  shift(v, s)[r] == v[r + s] (zeros out of range), so "read p + off" =
+  shift by +off; cross-boundary rows are zeroed by the tap masks.
 
 The restart-selection epilogue (final losses, per-image argmin, G(z*)) runs
 outside the kernel through the identical XLA s2d apply, so selection
@@ -133,8 +134,6 @@ def _loop_kernel(z_ref, x_ref, w1_ref, w1t_ref, b1r_ref, ka_ref, kat_ref,
                  tile: int, c0: int, ca: int, cb: int, g: int,
                  out_dim: int):
     """One tile of T latents: all L steps VMEM-resident."""
-    from jax.experimental.pallas import tpu as pltpu
-
     p2 = g * g
     rows = p2 * tile
     kdim = z_ref.shape[1]
@@ -150,12 +149,35 @@ def _loop_kernel(z_ref, x_ref, w1_ref, w1t_ref, b1r_ref, ka_ref, kat_ref,
     x = x_ref[:].astype(jnp.float32)          # [rows, cb] (pixel-major)
     offs = [(dy * g + dx) * tile for dy, dx in _tap_offsets(g)]
 
-    def roll(v, s):
-        # pltpu.roll requires a non-negative shift; circular => mod rows
-        return pltpu.roll(v, s % rows, 0)
+    def shift(v, s):
+        """dest row r reads v[r + s]; out-of-range rows are ZERO.
+
+        pltpu.roll crashes this Mosaic toolchain (scripts/pallas_v3_diag.py
+        bisection), so shifts are static slices + zero concat — equivalent
+        here because every cross-boundary row is killed by the tap masks.
+        """
+        if s == 0:
+            return v
+        z = jnp.zeros((abs(s), v.shape[1]), v.dtype)
+        if s > 0:
+            return jnp.concatenate([v[s:, :], z], axis=0)
+        return jnp.concatenate([z, v[:s, :]], axis=0)
 
     m_f32 = [masks_ref[:, k:k + 1] for k in range(9)]          # [rows, 1]
     m_b16 = [m.astype(jnp.bfloat16) for m in m_f32]
+    # pure-y taps (dx == 0) never wrap a row across the x edge, and shift()
+    # zero-fills the array ends — no mask needed; the center tap (k == 4)
+    # needs neither shift nor mask
+    no_mask = {k for k, (dy, dx) in enumerate(_tap_offsets(g)) if dx == 0}
+
+    def shifted(v, k, sign=1):
+        s = sign * offs[k]
+        out = shift(v, s)
+        if k in no_mask:
+            return out
+        m = m_b16 if v.dtype == jnp.bfloat16 else m_f32
+        idx = k if sign > 0 else 8 - k
+        return out * m[idx]
 
     scale = 2.0 / out_dim
 
@@ -171,38 +193,43 @@ def _loop_kernel(z_ref, x_ref, w1_ref, w1t_ref, b1r_ref, ka_ref, kat_ref,
         h0 = jnp.maximum(h0 + b1r, 0.0)
         h0b = h0.astype(jnp.bfloat16)
 
-        # ---- conv A fwd: roll the narrow input, mask, matmul, accumulate
+        # ---- conv A fwd: shift the narrow input, mask, matmul, accumulate
         h1 = jnp.zeros((rows, ca), jnp.float32)
         for k in range(9):
-            src = roll(h0b, -offs[k]) * m_b16[k]
-            h1 = h1 + jnp.dot(src, ka[k * c0:(k + 1) * c0, :],
+            h1 = h1 + jnp.dot(shifted(h0b, k),
+                              ka[k * c0:(k + 1) * c0, :],
                               preferred_element_type=jnp.float32)
         h1 = jnp.maximum(h1 + ba, 0.0)
         h1b = h1.astype(jnp.bfloat16)
 
-        # ---- conv B fwd: one packed matmul, tap slices rolled after
-        ob = jnp.dot(h1b, kbp, preferred_element_type=jnp.float32)
+        # ---- conv B fwd: one packed matmul, tap slices shifted after.
+        # Shift the full (bf16, halves the moved bytes) matmul result and
+        # slice after: shifting a 16-lane slice of a matmul result crashes
+        # this Mosaic toolchain (scripts/pallas_v3_diag*.py bisections).
+        obb = jnp.dot(h1b, kbp,
+                      preferred_element_type=jnp.float32).astype(jnp.bfloat16)
         o = bb + jnp.zeros((rows, cb), jnp.float32)
         for k in range(9):
-            part = roll(ob[:, k * cb:(k + 1) * cb], -offs[k])
-            o = o + part * m_f32[k]
+            part = shift(obb, offs[k])[:, k * cb:(k + 1) * cb]
+            if k not in no_mask:
+                part = part * m_b16[k]
+            o = o + part
         # ---- loss grad in s2d space
         t = jnp.tanh(o)
         do = ((t - x) * (1.0 - t * t) * scale).astype(jnp.bfloat16)
 
-        # ---- conv B bwd: pack rolled do tap-major, one matmul
-        dop = jnp.concatenate(
-            [roll(do, offs[k]) * m_b16[8 - k] for k in range(9)],
-            axis=1)                                           # [rows, 9*cb]
+        # ---- conv B bwd: pack shifted do tap-major, one matmul
+        dop = jnp.concatenate([shifted(do, k, -1) for k in range(9)],
+                              axis=1)                         # [rows, 9*cb]
         dh1 = jnp.dot(dop, kbpt, preferred_element_type=jnp.float32)
         dh1 = jnp.where(h1 > 0.0, dh1, 0.0).astype(jnp.bfloat16)
 
-        # ---- conv A bwd: matmul first, roll the narrow result
+        # ---- conv A bwd: matmul first, shift the narrow bf16 result
         dh0 = jnp.zeros((rows, c0), jnp.float32)
         for k in range(9):
             acc = jnp.dot(dh1, kat[k * ca:(k + 1) * ca, :],
                           preferred_element_type=jnp.float32)
-            dh0 = dh0 + roll(acc, offs[k]) * m_f32[8 - k]
+            dh0 = dh0 + shifted(acc.astype(jnp.bfloat16), k, -1)
         dh0 = jnp.where(h0 > 0.0, dh0, 0.0).astype(jnp.bfloat16)
 
         # ---- fc bwd: accumulate dz over pixel blocks (static slices)
