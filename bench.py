@@ -53,7 +53,7 @@ def main():
     ap.add_argument("--rec_iters", type=int, default=200)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--kernel",
-                    choices=["auto", "xla", "packed", "matmul", "pallas"],
+                    choices=["auto", "xla", "packed", "pallas"],
                     default="auto")
     args = ap.parse_args()
 
@@ -81,20 +81,10 @@ def main():
     kx, kz = jax.random.split(key)
     x = jax.random.uniform(kx, (args.batch,) + cfg.image_shape, jnp.float32)
 
-    if kernel == "matmul":
-        from defensegan_tpu.kernels import make_matmul_reconstructor
-        run = make_matmul_reconstructor(gan, rec_rr=cfg.rec_rr,
-                                        rec_iters=cfg.rec_iters,
-                                        rec_lr=cfg.rec_lr,
-                                        momentum=cfg.rec_momentum)
+    cfg.projection_kernel = kernel  # dataclass field, reconstruct reads it
 
-        def bench_fn(x, k):
-            return run(x, k).x_hat
-    else:
-        cfg.projection_kernel = kernel  # dataclass field, reconstruct reads it
-
-        def bench_fn(x, k):
-            return gan.reconstruct(x, k).x_hat
+    def bench_fn(x, k):
+        return gan.reconstruct(x, k).x_hat
 
     # Time with an honest barrier: fetch a scalar reduction of the output to
     # the host each repeat. (On some PJRT transports Array.block_until_ready

@@ -97,8 +97,7 @@ class DefenseGAN:
         lr = rec_lr if rec_lr is not None else cfg.rec_lr
         key = key if key is not None else jax.random.key(cfg.seed + 1)
 
-        explicit = cfg.projection_kernel
-        kernel = explicit
+        kernel = cfg.projection_kernel
         if kernel == "auto":
             # measured on the v5e (RESULTS.md round 2): the fused Pallas
             # kernels win outright (wide: v2 3669 vs 2570 xla; deep: v3
@@ -114,8 +113,7 @@ class DefenseGAN:
         if kernel == "pallas" and not back_prop:
             from defensegan_tpu.kernels import (
                 dense_kernel_available, make_pallas_dense_reconstructor,
-                make_pallas_reconstructor, make_pallas_s2d_reconstructor,
-                projection_kernel_available, s2d_kernel_available)
+                make_pallas_s2d_reconstructor, s2d_kernel_available)
             n = x.shape[0] * rr
             if dense_kernel_available(self) and n % 256 == 0:
                 sig = ("pallas-v2", rr, iters, lr)
@@ -132,16 +130,6 @@ class DefenseGAN:
                         make_pallas_s2d_reconstructor(
                             self, rec_rr=rr, rec_iters=iters, rec_lr=lr,
                             momentum=cfg.rec_momentum, tile=64)
-                return self._reconstructors[sig](x, key)
-            if (explicit == "pallas" and projection_kernel_available(self)
-                    and n % 32 == 0):
-                # v1 (round-1 tap-loop kernel) only on explicit request —
-                # it loses to xla (RESULTS.md); kept as a reference
-                sig = ("pallas", rr, iters, lr)
-                if sig not in self._reconstructors:
-                    self._reconstructors[sig] = make_pallas_reconstructor(
-                        self, rec_rr=rr, rec_iters=iters, rec_lr=lr,
-                        momentum=cfg.rec_momentum, tile=32)
                 return self._reconstructors[sig](x, key)
 
         if kernel == "packed":
