@@ -10,7 +10,8 @@ attack-through-the-defense of the paper.
 """
 
 from defensegan_tpu.attacks.fgsm import fgsm, rand_fgsm
-from defensegan_tpu.attacks.cw import CWConfig, carlini_wagner_l2
+from defensegan_tpu.attacks.cw import (CWConfig, carlini_wagner_l2,
+                                       carlini_wagner_l2_chunked)
 from defensegan_tpu.attacks.blackbox import (jacobian_augmentation,
                                              train_substitute)
 
@@ -19,6 +20,7 @@ __all__ = [
     "rand_fgsm",
     "CWConfig",
     "carlini_wagner_l2",
+    "carlini_wagner_l2_chunked",
     "jacobian_augmentation",
     "train_substitute",
 ]

@@ -16,14 +16,24 @@ Defaults mirror cleverhans v2.x (binary_search_steps=5, max_iterations=1000,
 learning_rate=5e-3, initial_const=1e-2, confidence=0); exact reference values
 are [M-lo] in SURVEY.md — all knobs are explicit here.
 
-TPU-first design: both loops are on-device (`lax.scan` over iterations inside
-a scan over binary-search steps), vectorized across the batch with
-per-example constants — the whole attack is ONE compiled XLA program, vs
-cleverhans' per-iteration sess.run round-trips.
+TPU-first design: two drivers over the SAME step math.
+
+  - `carlini_wagner_l2`: both loops on-device (`lax.scan` over iterations
+    inside a scan over binary-search steps) — the whole attack is ONE
+    compiled XLA program, vs cleverhans' per-iteration sess.run round-trips.
+    Right whenever logits_fn is cheap (bare classifier).
+  - `carlini_wagner_l2_chunked`: identical math, but the iteration loop is
+    split into host-dispatched scan chunks. Required when logits_fn is very
+    expensive — e.g. the paper's strongest white-box, where every CW step
+    differentiates through the L=200 unrolled Defense-GAN reconstruction:
+    5x1000 such steps fused into one program executes for many minutes,
+    which the TPU runtime kills as a stuck kernel. Chunking bounds each
+    device call while keeping all math on-device.
 """
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
@@ -56,18 +66,20 @@ def _from_tanh_space(w, cfg: CWConfig):
     return x01 * (cfg.clip_max - cfg.clip_min) + cfg.clip_min
 
 
-def carlini_wagner_l2(logits_fn: LogitsFn, x: jnp.ndarray,
-                      labels: jnp.ndarray,
-                      cfg: CWConfig = CWConfig(),
-                      targeted: bool = False) -> jnp.ndarray:
-    """CW-L2. Returns adversarial examples (x where none found).
+def _cw_machinery(logits_fn: LogitsFn, x, labels, cfg: CWConfig,
+                  targeted: bool):
+    """Shared pieces of the one-program and chunked drivers.
 
-    labels: true labels (untargeted, default — the paper's setting) or
-    target labels (targeted=True, cleverhans CarliniWagnerL2 y_target).
+    Returns (step, inner_init, bs_init, bs_update):
+      step(inner_carry, c) -> inner_carry   one Adam step at constants c [B]
+      inner_init()                          fresh inner state for a bs step
+      bs_init()                             binary-search carry
+      bs_update(bs_carry, l2, adv, found)   bounds + global-best update
     """
     batch = x.shape[0]
-    num_classes_probe = logits_fn(x[:1])
-    num_classes = num_classes_probe.shape[-1]
+    # eval_shape: no execution/compile just to read the class count (the
+    # chunked driver runs eagerly, and logits_fn may cost a full recon).
+    num_classes = jax.eval_shape(logits_fn, x[:1]).shape[-1]
     y_onehot = jax.nn.one_hot(labels, num_classes)
 
     w0 = _to_tanh_space(x, cfg)
@@ -92,41 +104,40 @@ def carlini_wagner_l2(logits_fn: LogitsFn, x: jnp.ndarray,
 
     opt = optax.adam(cfg.learning_rate)
 
-    def inner_opt(c):
-        """Run max_iterations Adam steps at per-example constants c [B]."""
+    def loss_fn(modifier, c):
+        x_adv = _from_tanh_space(w0 + modifier, cfg)
+        logits = logits_fn(x_adv)
+        l2 = jnp.sum(jnp.square(x_adv - x), axis=sum_axes)
+        per_ex = l2 + c * hinge(logits)
+        return jnp.sum(per_ex), (x_adv, logits, l2)
+
+    grad_fn = jax.grad(loss_fn, has_aux=True)
+
+    def step(carry, c):
+        modifier, opt_state, best_l2, best_adv, found = carry
+        g, (x_adv, logits, l2) = grad_fn(modifier, c)
+        ok = attack_succeeds(logits)
+        better = ok & (l2 < best_l2)
+        best_l2 = jnp.where(better, l2, best_l2)
+        mask = better.reshape((-1,) + (1,) * (x.ndim - 1))
+        best_adv = jnp.where(mask, x_adv, best_adv)
+        found = found | ok
+        updates, opt_state = opt.update(g, opt_state, modifier)
+        modifier = optax.apply_updates(modifier, updates)
+        return (modifier, opt_state, best_l2, best_adv, found)
+
+    def inner_init():
         modifier0 = jnp.zeros_like(w0)
-
-        def loss_fn(modifier):
-            x_adv = _from_tanh_space(w0 + modifier, cfg)
-            logits = logits_fn(x_adv)
-            l2 = jnp.sum(jnp.square(x_adv - x), axis=sum_axes)
-            per_ex = l2 + c * hinge(logits)
-            return jnp.sum(per_ex), (x_adv, logits, l2)
-
-        grad_fn = jax.grad(loss_fn, has_aux=True)
-
-        def step(carry, _):
-            modifier, opt_state, best_l2, best_adv, found = carry
-            g, (x_adv, logits, l2) = grad_fn(modifier)
-            ok = attack_succeeds(logits)
-            better = ok & (l2 < best_l2)
-            best_l2 = jnp.where(better, l2, best_l2)
-            mask = better.reshape((-1,) + (1,) * (x.ndim - 1))
-            best_adv = jnp.where(mask, x_adv, best_adv)
-            found = found | ok
-            updates, opt_state = opt.update(g, opt_state, modifier)
-            modifier = optax.apply_updates(modifier, updates)
-            return (modifier, opt_state, best_l2, best_adv, found), None
-
-        init = (modifier0, opt.init(modifier0),
+        return (modifier0, opt.init(modifier0),
                 jnp.full((batch,), jnp.inf), x, jnp.zeros((batch,), bool))
-        (modifier, _, best_l2, best_adv, found), _ = jax.lax.scan(
-            step, init, None, length=cfg.max_iterations)
-        return best_l2, best_adv, found
 
-    def bs_step(carry, _):
+    def bs_init():
+        c0 = jnp.full((batch,), cfg.initial_const)
+        return (c0, jnp.zeros((batch,)), jnp.full((batch,), jnp.inf),
+                jnp.full((batch,), jnp.inf), x)
+
+    def bs_update(carry, l2, adv, found):
         c, lower, upper, global_l2, global_adv = carry
-        l2, adv, found = inner_opt(c)
         better = found & (l2 < global_l2)
         global_l2 = jnp.where(better, l2, global_l2)
         mask = better.reshape((-1,) + (1,) * (x.ndim - 1))
@@ -138,11 +149,80 @@ def carlini_wagner_l2(logits_fn: LogitsFn, x: jnp.ndarray,
         c = jnp.where(found,
                       (lower + upper) / 2.0,
                       jnp.where(has_upper, (lower + upper) / 2.0, c * 10.0))
-        return (c, lower, upper, global_l2, global_adv), None
+        return (c, lower, upper, global_l2, global_adv)
 
-    c0 = jnp.full((batch,), cfg.initial_const)
-    init = (c0, jnp.zeros((batch,)), jnp.full((batch,), jnp.inf),
-            jnp.full((batch,), jnp.inf), x)
-    (_, _, _, _, adv), _ = jax.lax.scan(bs_step, init, None,
+    return step, inner_init, bs_init, bs_update
+
+
+def carlini_wagner_l2(logits_fn: LogitsFn, x: jnp.ndarray,
+                      labels: jnp.ndarray,
+                      cfg: CWConfig = CWConfig(),
+                      targeted: bool = False) -> jnp.ndarray:
+    """CW-L2 as one fused program. Returns adversarial examples (x where
+    none found). Jit-compatible; call under jax.jit for best performance.
+
+    labels: true labels (untargeted, default — the paper's setting) or
+    target labels (targeted=True, cleverhans CarliniWagnerL2 y_target).
+    """
+    step, inner_init, bs_init, bs_update = _cw_machinery(
+        logits_fn, x, labels, cfg, targeted)
+
+    def bs_step(carry, _):
+        c = carry[0]
+        inner, _ = jax.lax.scan(lambda cr, _: (step(cr, c), None),
+                                inner_init(), None,
+                                length=cfg.max_iterations)
+        _, _, l2, adv, found = inner
+        return bs_update(carry, l2, adv, found), None
+
+    (_, _, _, _, adv), _ = jax.lax.scan(bs_step, bs_init(), None,
                                         length=cfg.binary_search_steps)
     return adv
+
+
+def carlini_wagner_l2_chunked(logits_fn: LogitsFn, x: jnp.ndarray,
+                              labels: jnp.ndarray,
+                              cfg: CWConfig = CWConfig(),
+                              targeted: bool = False,
+                              chunk_iters: int = 100,
+                              verbose: bool = False) -> jnp.ndarray:
+    """CW-L2 with identical math to `carlini_wagner_l2`, executed as a
+    host-driven sequence of scan(chunk_iters) device programs.
+
+    Use when logits_fn is expensive enough that the fused program would run
+    for minutes per call (attack-through-defense: every step differentiates
+    through the unrolled L-step reconstruction). NOT jittable from outside —
+    it jits its own chunks. Each chunk is synchronized with a host fetch so
+    no device program runs unboundedly long.
+    """
+    step, inner_init, bs_init, bs_update = _cw_machinery(
+        logits_fn, x, labels, cfg, targeted)
+    chunk_iters = max(1, min(chunk_iters, cfg.max_iterations))
+
+    @partial(jax.jit, static_argnames="n")
+    def run_chunk(carry, c, n):
+        out, _ = jax.lax.scan(lambda cr, _: (step(cr, c), None), carry,
+                              None, length=n)
+        return out
+
+    bs_update_j = jax.jit(bs_update)
+
+    carry = bs_init()
+    for b in range(cfg.binary_search_steps):
+        c = carry[0]
+        inner = inner_init()
+        done = 0
+        while done < cfg.max_iterations:
+            n = min(chunk_iters, cfg.max_iterations - done)
+            inner = run_chunk(inner, c, n)
+            # honest barrier for this tunnel (see CLAUDE.md): fetch a scalar
+            # so at most one chunk is ever in flight on the device
+            n_found = int(jnp.sum(inner[4]))
+            done += n
+            if verbose:
+                print(f"  cw bs {b + 1}/{cfg.binary_search_steps} "
+                      f"iter {done}/{cfg.max_iterations} "
+                      f"(found {n_found}/{x.shape[0]})", flush=True)
+        _, _, l2, adv, found = inner
+        carry = bs_update_j(carry, l2, adv, found)
+    return carry[4]

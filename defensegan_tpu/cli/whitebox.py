@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from defensegan_tpu.attacks import CWConfig, carlini_wagner_l2, fgsm, rand_fgsm
+from defensegan_tpu.attacks import (CWConfig, carlini_wagner_l2,
+                                    carlini_wagner_l2_chunked, fgsm,
+                                    rand_fgsm)
 from defensegan_tpu.cli.common import (add_cfg_args, cfg_from_args, limit,
                                        load_data, load_gan)
 from defensegan_tpu.eval import model_eval, model_eval_gan, train_classifier
@@ -93,6 +95,12 @@ def main(argv=None):
                     help="RAND+FGSM random-step size")
     ap.add_argument("--cw_max_iterations", type=int, default=100)
     ap.add_argument("--cw_binary_search_steps", type=int, default=4)
+    ap.add_argument("--cw_chunk_iters", type=int, default=0,
+                    help="split the CW inner loop into host-dispatched scan "
+                    "chunks of this many iterations (0 = auto: chunk by 100 "
+                    "when attacking THROUGH the defense, where one fused "
+                    "program would run minutes and trip the TPU runtime "
+                    "watchdog; -1 = never chunk)")
     ap.add_argument("--train_on_recs", action="store_true")
     ap.add_argument("--online_training", action="store_true",
                     help="alias kept for reference-CLI parity: train the "
@@ -195,10 +203,21 @@ def main(argv=None):
             cw_cfg = CWConfig(
                 binary_search_steps=args.cw_binary_search_steps,
                 max_iterations=args.cw_max_iterations)
+            through_defense = attack_target is not logits_fn
+            chunk = args.cw_chunk_iters
+            if chunk == 0:
+                chunk = 100 if through_defense else -1
+            if chunk > 0:
+                print(f"CW: host-chunked, {chunk} iterations per device call")
 
-            @jax.jit
-            def craft(xb, yb, k):
-                return carlini_wagner_l2(attack_target, xb, yb, cw_cfg)
+                def craft(xb, yb, k):
+                    return carlini_wagner_l2_chunked(
+                        attack_target, xb, yb, cw_cfg, chunk_iters=chunk,
+                        verbose=through_defense)
+            else:
+                @jax.jit
+                def craft(xb, yb, k):
+                    return carlini_wagner_l2(attack_target, xb, yb, cw_cfg)
 
         advs = []
         bs = args.attack_batch

@@ -7,7 +7,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from defensegan_tpu.attacks import CWConfig, carlini_wagner_l2, fgsm, rand_fgsm
+from defensegan_tpu.attacks import (CWConfig, carlini_wagner_l2,
+                                    carlini_wagner_l2_chunked, fgsm,
+                                    rand_fgsm)
 from defensegan_tpu.data.synthetic import make_synthetic
 from defensegan_tpu.eval import model_eval, train_classifier
 from defensegan_tpu.models import build_classifier
@@ -99,6 +101,23 @@ def test_carlini_wagner_l2_flips_predictions_with_small_l2():
     l2 = np.sqrt(((adv - xb) ** 2).sum(axis=(1, 2, 3)))
     assert np.median(l2[adv_pred != yb]) < 5.0  # small perturbations
     assert adv.min() >= 0.0 and adv.max() <= 1.0
+
+
+def test_cw_chunked_matches_fused():
+    """The host-chunked driver must execute bit-identical math to the fused
+    single-program attack (same step sequence, only dispatch granularity
+    differs) — including a chunk size that does not divide max_iterations."""
+    state, x, y = _trained_small_classifier()
+    logits_fn = state.logits_fn()
+    xb, yb = jnp.asarray(x[:16]), jnp.asarray(y[:16])
+    cfg = CWConfig(binary_search_steps=2, max_iterations=50,
+                   initial_const=1.0, learning_rate=1e-2)
+    fused = np.asarray(carlini_wagner_l2(logits_fn, xb, yb, cfg))
+    for chunk in (7, 50, 64):
+        chunked = np.asarray(carlini_wagner_l2_chunked(
+            logits_fn, xb, yb, cfg, chunk_iters=chunk))
+        np.testing.assert_allclose(chunked, fused, atol=1e-6,
+                                   err_msg=f"chunk_iters={chunk}")
 
 
 def test_cw_returns_original_where_it_fails():
