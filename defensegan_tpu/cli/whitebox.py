@@ -274,6 +274,13 @@ def main(argv=None):
         "attack": args.attack_type, "defense": args.defense_type,
         "fgsm_eps": args.fgsm_eps, "num_tests": int(x_test.shape[0]),
         "rec_rr": cfg.rec_rr, "rec_iters": cfg.rec_iters,
+        "attack_rec_iters": (attack_rec_iters
+                             if args.attack_type != "none" else None),
+        "attack_batch": args.attack_batch,
+        "cw_max_iterations": (args.cw_max_iterations
+                              if args.attack_type == "cw" else None),
+        "cw_binary_search_steps": (args.cw_binary_search_steps
+                                   if args.attack_type == "cw" else None),
         "attack_through_defense": args.attack_through_defense,
         "clean_acc": clean_acc, "clean_defended_acc": clean_defended_acc,
         "adv_acc_no_defense": adv_acc,
