@@ -200,6 +200,19 @@ def make_data_train_step(generator: nn.Module, critic: nn.Module,
     reference's feed_dict loop entirely (SURVEY.md section 3.1): the host
     sends only a PRNG key per cycle; indices are drawn with replacement
     inside jit and gathered on-device.
+
+    SEMANTIC DIFFERENCE vs the reference (documented deliberately): the
+    reference iterates epochs of a shuffled dataset, so every example is
+    seen exactly once per epoch; this step samples minibatches i.i.d. WITH
+    replacement. For WGAN-GP training the two are equivalent in
+    expectation (each example has identical marginal probability per
+    batch), and with-replacement sampling keeps the step a pure function
+    of (state, key) — no epoch cursor to carry or checkpoint. Coverage is
+    near-complete after a fraction of an epoch-equivalent: after S steps
+    of batch B over N examples, E[uncovered] = N*(1-B/N)^(S*disc_iters)
+    — e.g. N=60000, B=64, 5 critic draws/step: <0.7% unseen after one
+    epoch-equivalent of generator steps (tests/test_gan_train.py pins
+    this).
     """
     inner = make_train_step(generator, critic, gen_tx, disc_tx,
                             latent_dim=latent_dim, disc_iters=disc_iters,
