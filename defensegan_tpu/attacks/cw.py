@@ -71,7 +71,9 @@ def _cw_machinery(logits_fn: LogitsFn, x, labels, cfg: CWConfig,
     """Shared pieces of the one-program and chunked drivers.
 
     Returns (step, inner_init, bs_init, bs_update):
-      step(inner_carry, c) -> inner_carry   one Adam step at constants c [B]
+      step(inner_carry, c) -> (inner_carry, objective)   one Adam step at
+        constants c [B]; objective = sum_b(l2_b + c_b * hinge_b), the
+        scalar cleverhans' abort_early watches
       inner_init()                          fresh inner state for a bs step
       bs_init()                             binary-search carry
       bs_update(bs_carry, l2, adv, found)   bounds + global-best update
@@ -124,7 +126,9 @@ def _cw_machinery(logits_fn: LogitsFn, x, labels, cfg: CWConfig,
         found = found | ok
         updates, opt_state = opt.update(g, opt_state, modifier)
         modifier = optax.apply_updates(modifier, updates)
-        return (modifier, opt_state, best_l2, best_adv, found)
+        hinge_val = hinge(logits)
+        objective = jnp.sum(l2 + c * hinge_val)
+        return (modifier, opt_state, best_l2, best_adv, found), objective
 
     def inner_init():
         modifier0 = jnp.zeros_like(w0)
@@ -169,7 +173,7 @@ def carlini_wagner_l2(logits_fn: LogitsFn, x: jnp.ndarray,
 
     def bs_step(carry, _):
         c = carry[0]
-        inner, _ = jax.lax.scan(lambda cr, _: (step(cr, c), None),
+        inner, _ = jax.lax.scan(lambda cr, _: (step(cr, c)[0], None),
                                 inner_init(), None,
                                 length=cfg.max_iterations)
         _, _, l2, adv, found = inner
@@ -185,6 +189,7 @@ def carlini_wagner_l2_chunked(logits_fn: LogitsFn, x: jnp.ndarray,
                               cfg: CWConfig = CWConfig(),
                               targeted: bool = False,
                               chunk_iters: int = 100,
+                              abort_early: bool = False,
                               verbose: bool = False) -> jnp.ndarray:
     """CW-L2 with identical math to `carlini_wagner_l2`, executed as a
     host-driven sequence of scan(chunk_iters) device programs.
@@ -194,6 +199,13 @@ def carlini_wagner_l2_chunked(logits_fn: LogitsFn, x: jnp.ndarray,
     through the unrolled L-step reconstruction). NOT jittable from outside —
     it jits its own chunks. Each chunk is synchronized with a host fetch so
     no device program runs unboundedly long.
+
+    abort_early: cleverhans CarliniWagnerL2's abort_early (its default is
+    True): stop a binary-search step once the objective fails to improve to
+    0.9999x its value at the previous check. cleverhans checks every
+    max_iterations//10 steps; here the check lands on chunk boundaries.
+    Off by default so the function is drop-in equivalent to the fused
+    driver; the whitebox CLI enables it for reference parity.
     """
     step, inner_init, bs_init, bs_update = _cw_machinery(
         logits_fn, x, labels, cfg, targeted)
@@ -201,9 +213,9 @@ def carlini_wagner_l2_chunked(logits_fn: LogitsFn, x: jnp.ndarray,
 
     @partial(jax.jit, static_argnames="n")
     def run_chunk(carry, c, n):
-        out, _ = jax.lax.scan(lambda cr, _: (step(cr, c), None), carry,
-                              None, length=n)
-        return out
+        out, objs = jax.lax.scan(lambda cr, _: step(cr, c), carry,
+                                 None, length=n)
+        return out, objs[-1]
 
     bs_update_j = jax.jit(bs_update)
 
@@ -212,17 +224,26 @@ def carlini_wagner_l2_chunked(logits_fn: LogitsFn, x: jnp.ndarray,
         c = carry[0]
         inner = inner_init()
         done = 0
+        prev_obj = float("inf")
         while done < cfg.max_iterations:
             n = min(chunk_iters, cfg.max_iterations - done)
-            inner = run_chunk(inner, c, n)
-            # honest barrier for this tunnel (see CLAUDE.md): fetch a scalar
+            inner, obj = run_chunk(inner, c, n)
+            # honest barrier for this tunnel (see CLAUDE.md): fetch scalars
             # so at most one chunk is ever in flight on the device
             n_found = int(jnp.sum(inner[4]))
+            obj = float(obj)
             done += n
             if verbose:
                 print(f"  cw bs {b + 1}/{cfg.binary_search_steps} "
                       f"iter {done}/{cfg.max_iterations} "
-                      f"(found {n_found}/{x.shape[0]})", flush=True)
+                      f"(found {n_found}/{x.shape[0]}, obj {obj:.4f})",
+                      flush=True)
+            if abort_early and obj > prev_obj * 0.9999:
+                if verbose:
+                    print(f"  cw bs {b + 1}: abort_early at iter {done} "
+                          f"(objective plateaued)", flush=True)
+                break
+            prev_obj = obj
         _, _, l2, adv, found = inner
         carry = bs_update_j(carry, l2, adv, found)
     return carry[4]

@@ -95,6 +95,11 @@ def main(argv=None):
                     help="RAND+FGSM random-step size")
     ap.add_argument("--cw_max_iterations", type=int, default=100)
     ap.add_argument("--cw_binary_search_steps", type=int, default=4)
+    ap.add_argument("--cw_abort_early", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="cleverhans abort_early: stop a binary-search step "
+                    "when the objective plateaus (checked at chunk "
+                    "boundaries; implies the chunked driver)")
     ap.add_argument("--cw_chunk_iters", type=int, default=0,
                     help="split the CW inner loop into host-dispatched scan "
                     "chunks of this many iterations (0 = auto: chunk by 100 "
@@ -206,13 +211,16 @@ def main(argv=None):
             through_defense = attack_target is not logits_fn
             chunk = args.cw_chunk_iters
             if chunk == 0:
-                chunk = 100 if through_defense else -1
+                chunk = 100 if (through_defense or args.cw_abort_early) \
+                    else -1
             if chunk > 0:
-                print(f"CW: host-chunked, {chunk} iterations per device call")
+                print(f"CW: host-chunked, {chunk} iterations per device call"
+                      + (", abort_early" if args.cw_abort_early else ""))
 
                 def craft(xb, yb, k):
                     return carlini_wagner_l2_chunked(
                         attack_target, xb, yb, cw_cfg, chunk_iters=chunk,
+                        abort_early=args.cw_abort_early,
                         verbose=through_defense)
             else:
                 @jax.jit

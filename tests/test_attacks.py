@@ -120,6 +120,21 @@ def test_cw_chunked_matches_fused():
                                    err_msg=f"chunk_iters={chunk}")
 
 
+def test_cw_chunked_abort_early_still_attacks():
+    """abort_early (cleverhans default) may cut iterations short but must
+    still produce in-box adversaries that flip most predictions."""
+    state, x, y = _trained_small_classifier()
+    logits_fn = state.logits_fn()
+    xb, yb = jnp.asarray(x[:16]), jnp.asarray(y[:16])
+    cfg = CWConfig(binary_search_steps=2, max_iterations=100,
+                   initial_const=1.0, learning_rate=1e-2)
+    adv = np.asarray(carlini_wagner_l2_chunked(
+        logits_fn, xb, yb, cfg, chunk_iters=10, abort_early=True))
+    assert adv.min() >= 0.0 and adv.max() <= 1.0
+    adv_pred = np.asarray(jnp.argmax(logits_fn(jnp.asarray(adv)), -1))
+    assert (adv_pred != y[:16]).mean() > 0.5
+
+
 def test_cw_returns_original_where_it_fails():
     """With c tiny and 1 iteration, no attack found -> x returned."""
     state, x, y = _trained_small_classifier()
