@@ -1,0 +1,50 @@
+"""Host-side logic of the turnkey parity harness (scripts/parity.py):
+acceptance-band lookup, cell extraction, and report generation. The full
+harness is chip-scale (it trains GANs and runs every attack); these tests
+pin the pure-host pieces so a band/report bug can't silently mislabel a
+parity run."""
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def parity():
+    path = os.path.join(ROOT, "scripts", "parity.py")
+    spec = importlib.util.spec_from_file_location("parity_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_band_for_model_a_headline_cells(parity):
+    # the paper's headline cells must carry explicit bands
+    assert parity.band_for("mnist", "A", "fgsm", "defense_gan") == (0.975, 1.0)
+    assert parity.band_for("mnist", "A", "cw", "defense_gan") == (0.965, 1.0)
+    assert parity.band_for("f-mnist", "A", "fgsm", "defense_gan") == (0.85, 1.0)
+    # black-box rows are keyed by substitute model
+    assert parity.band_for("mnist", "B", "blackbox", "defense_gan") == \
+        (0.90, 1.0)
+
+
+def test_band_for_generic_pattern_on_mnist_non_a(parity):
+    # non-A MNIST models fall back to the qualitative pattern bands
+    assert parity.band_for("mnist", "C", "fgsm", "defense_gan") == (0.85, 1.0)
+    assert parity.band_for("mnist", "F", "none", "none") == (0.90, 1.0)
+    # no generic band for f-mnist non-A or unknown combos
+    assert parity.band_for("f-mnist", "C", "fgsm", "defense_gan") is None
+    assert parity.band_for("mnist", "C", "cw", "adv_tr") is None
+
+
+def test_cell_value_selects_the_right_accuracy(parity):
+    rec = {"clean_acc": 0.99, "adv_acc_no_defense": 0.10,
+           "defended_acc": 0.95}
+    assert parity.cell_value(rec, "none", "none") == 0.99
+    assert parity.cell_value(rec, "fgsm", "none") == 0.10
+    assert parity.cell_value(rec, "fgsm", "defense_gan") == 0.95
+    assert parity.cell_value(rec, "cw", "adv_tr") == 0.95
