@@ -105,6 +105,11 @@ def main():
     ap.add_argument("--sub_models", nargs="+", default=["B", "E"])
     ap.add_argument("--quick", action="store_true",
                     help="model A only, 128 tests, CW 100 iters")
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore previously-completed cells (default: "
+                    "resume — cells already in parity_rows.jsonl are "
+                    "skipped, so a crashed multi-hour run restarts where "
+                    "it left off)")
     ap.add_argument("--results_dir", default="output/results")
     args = ap.parse_args()
     if args.quick:
@@ -120,7 +125,51 @@ def main():
     from defensegan_tpu.data import get_dataset
     from defensegan_tpu.data.fetch import maybe_download
 
+    # Crash-resilient cell accounting: every completed cell is appended to
+    # parity_rows.jsonl immediately, and (unless --fresh) cells recorded
+    # there are skipped on restart — a failed cell costs one cell, not the
+    # whole multi-hour table.
+    os.makedirs(args.results_dir, exist_ok=True)
+    rows_path = os.path.join(args.results_dir, "parity_rows.jsonl")
+    done = {}
+    if not args.fresh and os.path.exists(rows_path):
+        with open(rows_path) as f:
+            for line in f:
+                r = json.loads(line)
+                done[(r["dataset"], r["model"], r["attack"],
+                      r["defense"])] = r
+        if done:
+            print(f"resuming: {len(done)} cells already in {rows_path} "
+                  "(--fresh to redo)")
+
     rows = []
+    errors = []
+
+    def run_cell(dataset, model, attack, defense, real, fn):
+        key = (dataset, model, attack, defense)
+        prior = done.get(key)
+        if prior is not None:
+            rows.append((dataset, model, attack, defense,
+                         prior["accuracy"], prior["real_data"]))
+            return
+        try:
+            val = fn()
+        except KeyboardInterrupt:
+            raise
+        except Exception:
+            import traceback
+            traceback.print_exc()
+            print(f"CELL FAILED {key} — continuing", flush=True)
+            errors.append(key)
+            rows.append((dataset, model, attack, defense, None, real))
+            return
+        rows.append((dataset, model, attack, defense, val, real))
+        with open(rows_path, "a") as f:
+            f.write(json.dumps({
+                "dataset": dataset, "model": model, "attack": attack,
+                "defense": defense, "accuracy": val, "real_data": real,
+            }) + "\n")
+
     any_fail = False
     all_real = True
     t_start = time.time()
@@ -151,14 +200,13 @@ def main():
         # ---- white-box table
         for model in args.models:
             # clean row (attack none, defense none)
-            rec = whitebox.main(["--cfg", gan_dir, "--attack_type", "none",
-                                 "--defense_type", "none",
-                                 "--model", model,
-                                 "--num_tests", str(args.num_tests),
-                                 "--classifier_epochs",
-                                 str(args.classifier_epochs)])
-            rows.append((dataset, model, "none", "none",
-                         cell_value(rec, "none", "none"), real))
+            run_cell(dataset, model, "none", "none", real,
+                     lambda: cell_value(whitebox.main(
+                         ["--cfg", gan_dir, "--attack_type", "none",
+                          "--defense_type", "none", "--model", model,
+                          "--num_tests", str(args.num_tests),
+                          "--classifier_epochs",
+                          str(args.classifier_epochs)]), "none", "none"))
             for attack in args.attacks:
                 for defense in ("none", "defense_gan", "adv_tr"):
                     if attack != "fgsm" and defense == "adv_tr":
@@ -183,25 +231,27 @@ def main():
                                  # one full-width batch: best MXU utilization
                                  # for the grad-through-reconstruction steps
                                  "--attack_batch", str(n_cw)]
-                    rec = whitebox.main(argv)
-                    rows.append((dataset, model, attack, defense,
-                                 cell_value(rec, attack, defense), real))
+                    run_cell(dataset, model, attack, defense, real,
+                             lambda argv=argv, attack=attack,
+                             defense=defense: cell_value(
+                                 whitebox.main(argv), attack, defense))
 
         # ---- black-box substitutes
         if dataset == "mnist":
             for sub in args.sub_models:
                 for defense in ("none", "defense_gan", "adv_tr"):
-                    rec = blackbox.main(
-                        ["--cfg", gan_dir, "--bb_model", "A",
-                         "--sub_model", sub,
-                         "--num_tests", str(args.num_tests),
-                         "--classifier_epochs",
-                         str(args.classifier_epochs),
-                         "--defense_type", defense])
-                    val = rec["defended_acc"] if defense != "none" \
-                        else rec["adv_acc_no_defense"]
-                    rows.append((dataset, sub, "blackbox", defense, val,
-                                 real))
+                    def bb_cell(sub=sub, defense=defense):
+                        rec = blackbox.main(
+                            ["--cfg", gan_dir, "--bb_model", "A",
+                             "--sub_model", sub,
+                             "--num_tests", str(args.num_tests),
+                             "--classifier_epochs",
+                             str(args.classifier_epochs),
+                             "--defense_type", defense])
+                        return (rec["defended_acc"] if defense != "none"
+                                else rec["adv_acc_no_defense"])
+                    run_cell(dataset, sub, "blackbox", defense, real,
+                             bb_cell)
 
     # ---- report
     os.makedirs(args.results_dir, exist_ok=True)
@@ -235,6 +285,9 @@ def main():
                      f"| {v} | {exp} | {verdict} |")
     lines += ["", f"checked cells: {checked}, passed: {passed}" if all_real
               else "no parity cells checked (synthetic data)"]
+    if errors:
+        lines += ["", f"**{len(errors)} cell(s) ERRORED** (see log): "
+                  + ", ".join("/".join(k) for k in errors)]
     report = "\n".join(lines)
     with open(os.path.join(args.results_dir, "parity.md"), "w") as f:
         f.write(report + "\n")
@@ -244,7 +297,7 @@ def main():
                    for d, m, a, de, v, r in rows], f, indent=1)
     print(report)
     print(f"\nwrote {args.results_dir}/parity.md")
-    sys.exit(1 if (all_real and any_fail) else 0)
+    sys.exit(1 if ((all_real and any_fail) or errors) else 0)
 
 
 if __name__ == "__main__":
