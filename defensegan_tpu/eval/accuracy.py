@@ -39,7 +39,8 @@ def model_eval(logits_fn: LogitsFn, x: np.ndarray, y: np.ndarray,
 
 
 def model_eval_gan(gan, logits_fn: LogitsFn, x: np.ndarray, y: np.ndarray,
-                   key: Optional[jax.Array] = None, batch_size: int = 256,
+                   key: Optional[jax.Array] = None,
+                   batch_size: Optional[int] = None,
                    rec_rr: Optional[int] = None,
                    rec_iters: Optional[int] = None) -> float:
     """Defended accuracy: purify each batch via gan.reconstruct, classify.
@@ -47,8 +48,15 @@ def model_eval_gan(gan, logits_fn: LogitsFn, x: np.ndarray, y: np.ndarray,
     Reference: utils/gan_defense.py::model_eval_gan. The last partial batch
     is padded to the compiled batch shape (static shapes for XLA) and the
     padding is excluded from the count.
+
+    batch_size None (default) picks min(1024, n rounded up to 256): large
+    batches keep the projection's batch x restarts axis wide enough for
+    full MXU tiles / the fused Pallas kernels' grids, and fewer dispatches
+    matter on transports with per-call overhead.
     """
     key = key if key is not None else jax.random.key(0)
+    if batch_size is None:
+        batch_size = min(1024, ((x.shape[0] + 255) // 256) * 256)
 
     @jax.jit
     def correct_count(x_hat, yb, valid):
