@@ -202,10 +202,10 @@ def carlini_wagner_l2_chunked(logits_fn: LogitsFn, x: jnp.ndarray,
 
     abort_early: cleverhans CarliniWagnerL2's abort_early (its default is
     True): stop a binary-search step once the objective fails to improve to
-    0.9999x its value at the previous check. cleverhans checks every
-    max_iterations//10 steps; here the check lands on chunk boundaries.
-    Off by default so the function is drop-in equivalent to the fused
-    driver; the whitebox CLI enables it for reference parity.
+    0.9999x its value at the previous check. Checks happen at cleverhans'
+    cadence — every max_iterations//10 steps (rounded up to a chunk
+    boundary). Off by default so the function is drop-in equivalent to the
+    fused driver; the whitebox CLI exposes --cw_abort_early.
     """
     step, inner_init, bs_init, bs_update = _cw_machinery(
         logits_fn, x, labels, cfg, targeted)
@@ -219,12 +219,15 @@ def carlini_wagner_l2_chunked(logits_fn: LogitsFn, x: jnp.ndarray,
 
     bs_update_j = jax.jit(bs_update)
 
+    check_every = max(chunk_iters, cfg.max_iterations // 10 or 1)
+
     carry = bs_init()
     for b in range(cfg.binary_search_steps):
         c = carry[0]
         inner = inner_init()
         done = 0
         prev_obj = float("inf")
+        next_check = check_every
         while done < cfg.max_iterations:
             n = min(chunk_iters, cfg.max_iterations - done)
             inner, obj = run_chunk(inner, c, n)
@@ -238,12 +241,14 @@ def carlini_wagner_l2_chunked(logits_fn: LogitsFn, x: jnp.ndarray,
                       f"iter {done}/{cfg.max_iterations} "
                       f"(found {n_found}/{x.shape[0]}, obj {obj:.4f})",
                       flush=True)
-            if abort_early and obj > prev_obj * 0.9999:
-                if verbose:
-                    print(f"  cw bs {b + 1}: abort_early at iter {done} "
-                          f"(objective plateaued)", flush=True)
-                break
-            prev_obj = obj
+            if abort_early and done >= next_check:
+                if obj > prev_obj * 0.9999:
+                    if verbose:
+                        print(f"  cw bs {b + 1}: abort_early at iter {done} "
+                              f"(objective plateaued)", flush=True)
+                    break
+                prev_obj = obj
+                next_check += check_every
         _, _, l2, adv, found = inner
         carry = bs_update_j(carry, l2, adv, found)
     return carry[4]

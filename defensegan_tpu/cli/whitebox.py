@@ -289,6 +289,8 @@ def main(argv=None):
                               if args.attack_type == "cw" else None),
         "cw_binary_search_steps": (args.cw_binary_search_steps
                                    if args.attack_type == "cw" else None),
+        "cw_abort_early": (args.cw_abort_early
+                           if args.attack_type == "cw" else None),
         "attack_through_defense": args.attack_through_defense,
         "clean_acc": clean_acc, "clean_defended_acc": clean_defended_acc,
         "adv_acc_no_defense": adv_acc,

@@ -101,6 +101,12 @@ def main():
                     "1000x5 would take ~6 h.")
     ap.add_argument("--cw_light_iterations", type=int, default=200)
     ap.add_argument("--cw_light_bs_steps", type=int, default=4)
+    ap.add_argument("--cw_chunk_iters", type=int, default=25,
+                    help="CW device-call chunk size. 25 keeps one chunk "
+                    "under ~30 s of device time even for the deep dim-64 "
+                    "generator (grad-through-L=200 at batch 256 runs ~1 "
+                    "s/iteration there; ~100 s chunks crashed the TPU "
+                    "worker watchdog)")
     ap.add_argument("--attack_rec_iters", type=int, default=200)
     ap.add_argument("--sub_models", nargs="+", default=["B", "E"])
     ap.add_argument("--quick", action="store_true",
@@ -142,15 +148,15 @@ def main():
             print(f"resuming: {len(done)} cells already in {rows_path} "
                   "(--fresh to redo)")
 
-    rows = []
+    # all_rows: everything known — previously-persisted cells PLUS this
+    # run's. The report covers the union, so narrowing --datasets/--models
+    # on a resume run never drops earlier cells from the table.
+    all_rows = {k: (r["accuracy"], r["real_data"]) for k, r in done.items()}
     errors = []
 
     def run_cell(dataset, model, attack, defense, real, fn):
         key = (dataset, model, attack, defense)
-        prior = done.get(key)
-        if prior is not None:
-            rows.append((dataset, model, attack, defense,
-                         prior["accuracy"], prior["real_data"]))
+        if key in done:
             return
         try:
             val = fn()
@@ -161,9 +167,9 @@ def main():
             traceback.print_exc()
             print(f"CELL FAILED {key} — continuing", flush=True)
             errors.append(key)
-            rows.append((dataset, model, attack, defense, None, real))
+            all_rows[key] = (None, real)
             return
-        rows.append((dataset, model, attack, defense, val, real))
+        all_rows[key] = (val, real)
         with open(rows_path, "a") as f:
             f.write(json.dumps({
                 "dataset": dataset, "model": model, "attack": attack,
@@ -227,6 +233,11 @@ def main():
                         n_cw = min(args.num_tests, 256)
                         argv += ["--cw_max_iterations", str(cw_iters),
                                  "--cw_binary_search_steps", str(cw_bs),
+                                 # cleverhans' own default; also saves chip
+                                 # time on the no-progress low-c bs steps
+                                 "--cw_abort_early",
+                                 "--cw_chunk_iters",
+                                 str(args.cw_chunk_iters),
                                  "--num_tests", str(n_cw),
                                  # one full-width batch: best MXU utilization
                                  # for the grad-through-reconstruction steps
@@ -266,7 +277,8 @@ def main():
     lines += ["| dataset | model | attack | defense | accuracy | expected "
               "| verdict |", "|---|---|---|---|---|---|---|"]
     checked = passed = 0
-    for dataset, model, attack, defense, val, real in rows:
+    for (dataset, model, attack, defense), (val, real) in sorted(
+            all_rows.items()):
         band = band_for(dataset, model, attack, defense)
         if band is None or val is None:
             verdict, exp = "—", "—"
@@ -294,7 +306,8 @@ def main():
     with open(os.path.join(args.results_dir, "parity.json"), "w") as f:
         json.dump([{"dataset": d, "model": m, "attack": a, "defense": de,
                     "accuracy": v, "real_data": r}
-                   for d, m, a, de, v, r in rows], f, indent=1)
+                   for (d, m, a, de), (v, r) in sorted(all_rows.items())],
+                  f, indent=1)
     print(report)
     print(f"\nwrote {args.results_dir}/parity.md")
     sys.exit(1 if ((all_real and any_fail) or errors) else 0)
