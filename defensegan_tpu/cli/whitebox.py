@@ -292,6 +292,7 @@ def main(argv=None):
         "cw_abort_early": (args.cw_abort_early
                            if args.attack_type == "cw" else None),
         "attack_through_defense": args.attack_through_defense,
+        "train_on_recs": args.train_on_recs,
         "clean_acc": clean_acc, "clean_defended_acc": clean_defended_acc,
         "adv_acc_no_defense": adv_acc,
         "defended_acc": defended_acc, "attack_time_s": round(attack_time, 2),
