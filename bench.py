@@ -48,7 +48,11 @@ def main():
                     "shipped MNIST fast config, mnist_fast.yml; use "
                     "configs/gans/mnist.yml for the reference-depth "
                     "generator)")
-    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=16384,
+                    help="16384 is the measured throughput-optimal batch "
+                    "for both Pallas kernels (scripts/round2_queue_d.py "
+                    "occupancy sweep: v2 3760 recon/s at 16384 vs 3685 at "
+                    "4096; v3 flat)")
     ap.add_argument("--rec_rr", type=int, default=10)
     ap.add_argument("--rec_iters", type=int, default=200)
     ap.add_argument("--repeats", type=int, default=3)
