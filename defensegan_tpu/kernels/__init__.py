@@ -21,6 +21,9 @@ from defensegan_tpu.kernels.fused_projection_v2 import (
     dense_kernel_available,
     make_pallas_dense_reconstructor,
 )
+from defensegan_tpu.kernels.fused_projection_v2i import (
+    make_pallas_dense_int8_reconstructor,
+)
 from defensegan_tpu.kernels.fused_projection_v3 import (
     make_pallas_s2d_reconstructor,
     s2d_kernel_available,
@@ -29,6 +32,7 @@ from defensegan_tpu.kernels.fused_projection_v3 import (
 __all__ = [
     "dense_kernel_available",
     "make_pallas_dense_reconstructor",
+    "make_pallas_dense_int8_reconstructor",
     "s2d_kernel_available",
     "make_pallas_s2d_reconstructor",
 ]

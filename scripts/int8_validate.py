@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""On-chip validation + bench of the int8 fused projection (v2i).
+
+Checks, with TRAINED mnist_fast weights when available:
+  1. argmin-restart agreement vs the XLA path on shared z0 draws;
+  2. best-restart loss deltas (int8 must not degrade reconstructions);
+  3. throughput vs the bf16 v2 kernel at the swept-optimal batch.
+
+Run:  python scripts/int8_validate.py 2>&1 | tee /tmp/int8_validate.log
+"""
+
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from defensegan_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from defensegan_tpu.configs import load_config  # noqa: E402
+from defensegan_tpu.gan import DefenseGAN  # noqa: E402
+from defensegan_tpu.kernels import (  # noqa: E402
+    make_pallas_dense_int8_reconstructor, make_pallas_dense_reconstructor)
+
+
+def bench(run, batch, image_shape, label, repeats=3):
+    x = jax.random.uniform(jax.random.key(0), (batch,) + tuple(image_shape),
+                           jnp.float32)
+    k = jax.random.key(1)
+    float(jnp.sum(run(x, k).x_hat))
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        float(jnp.sum(run(x, jax.random.fold_in(k, i)).x_hat))
+        times.append(time.perf_counter() - t0)
+    v = batch / min(times)
+    print(json.dumps({"metric": label, "recon_per_sec": round(v, 2)}),
+          flush=True)
+    return v
+
+
+def main():
+    cfg = load_config(os.path.join(ROOT, "defensegan_tpu", "configs",
+                                   "gans", "mnist_fast.yml"))
+    gan = DefenseGAN(cfg)
+    trained = gan.can_load()
+    if trained:
+        gan.load()
+    print(f"weights: {'trained ckpt' if trained else 'random init'}",
+          flush=True)
+
+    kw = dict(rec_rr=cfg.rec_rr, rec_iters=cfg.rec_iters, rec_lr=cfg.rec_lr,
+              momentum=cfg.rec_momentum, tile=256)
+    run_bf16 = make_pallas_dense_reconstructor(gan, **kw)
+    run_int8 = make_pallas_dense_int8_reconstructor(gan, **kw)
+
+    # ---- numerics vs the XLA path (and vs bf16 kernel), shared key
+    batch = 256
+    x = jax.random.uniform(jax.random.key(7), (batch,) + cfg.image_shape,
+                           jnp.float32)
+    key = jax.random.key(11)
+    cfg.projection_kernel = "xla"
+    ref = gan.reconstruct(x, key)
+    got8 = run_int8(x, key)
+    got16 = run_bf16(x, key)
+
+    ref_l = np.asarray(ref.all_losses)
+    l8 = np.asarray(got8.all_losses)
+    l16 = np.asarray(got16.all_losses)
+    agree8 = float((ref_l.argmin(1) == l8.argmin(1)).mean())
+    agree16 = float((ref_l.argmin(1) == l16.argmin(1)).mean())
+    print(json.dumps({
+        "argmin_agreement_int8_vs_xla": agree8,
+        "argmin_agreement_bf16_vs_xla": agree16,
+        "best_loss_mean_xla": float(np.asarray(ref.loss).mean()),
+        "best_loss_mean_int8": float(np.asarray(got8.loss).mean()),
+        "best_loss_mean_bf16": float(np.asarray(got16.loss).mean()),
+        "best_loss_absdiff_p95_int8": float(np.percentile(
+            np.abs(np.asarray(got8.loss) - np.asarray(ref.loss)), 95)),
+    }), flush=True)
+
+    # ---- throughput at the swept-optimal batch
+    for b in (4096, 16384):
+        bench(run_bf16, b, cfg.image_shape, f"v2_bf16_batch{b}")
+        bench(run_int8, b, cfg.image_shape, f"v2i_int8_batch{b}")
+
+
+if __name__ == "__main__":
+    main()

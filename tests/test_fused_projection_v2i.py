@@ -1,0 +1,61 @@
+"""Pallas v2i int8 fused projection kernel (interpret mode on CPU):
+the int8-MXU variant quantizes only the in-loop D matmuls (per-row
+activation / per-column weight symmetric int8), so it must stay in the
+same optimization basin as the XLA/bf16 paths — near-equal losses and
+reconstructions, and (at these well-separated test scales) the same
+restart argmins."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from defensegan_tpu.configs import Config
+from defensegan_tpu.gan import DefenseGAN
+from defensegan_tpu.kernels.fused_projection_v2i import (
+    make_pallas_dense_int8_reconstructor, pack_dense_int8)
+
+
+def _wide_gan(tmp_path):
+    cfg = Config(type="mnist", gen_arch="wide", gen_dim=4, disc_dim=4,
+                 latent_dim=32, rec_rr=2, rec_iters=8,
+                 compute_dtype="bfloat16",
+                 output_dir=str(tmp_path / "run"))
+    return DefenseGAN(cfg)
+
+
+def test_int8_pack_roundtrip(tmp_path):
+    pack = pack_dense_int8(_wide_gan(tmp_path))
+    d = np.asarray(pack.base.d, np.float32)
+    deq = np.asarray(pack.dq, np.float32) * np.asarray(pack.sd)
+    # per-column symmetric int8: worst-case error = scale/2 per entry
+    err = np.abs(deq - d)
+    bound = np.asarray(pack.sd)[0] * 0.5 + 1e-7
+    assert (err <= bound[None, :]).all()
+    # zero-padded columns quantize to exactly zero
+    out_dim = pack.base.out_dim
+    assert np.all(np.asarray(pack.dq)[:, out_dim:] == 0)
+
+
+def test_v2i_kernel_tracks_xla_path(tmp_path):
+    gan = _wide_gan(tmp_path)
+    x = jnp.asarray(np.random.RandomState(0).rand(8, 28, 28, 1)
+                    .astype(np.float32))
+    key = jax.random.key(3)
+
+    ref = gan.reconstruct(x, key)  # XLA scan path
+
+    run = make_pallas_dense_int8_reconstructor(
+        gan, rec_rr=gan.cfg.rec_rr, rec_iters=gan.cfg.rec_iters,
+        rec_lr=gan.cfg.rec_lr, momentum=gan.cfg.rec_momentum,
+        tile=8, interpret=True)
+    got = run(x, key)
+
+    np.testing.assert_array_equal(
+        np.asarray(ref.all_losses).argmin(1),
+        np.asarray(got.all_losses).argmin(1))
+    # int8 in-loop arithmetic: same basin, slightly looser than bf16
+    np.testing.assert_allclose(np.asarray(got.all_losses),
+                               np.asarray(ref.all_losses),
+                               rtol=0.15, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(got.x_hat),
+                               np.asarray(ref.x_hat), atol=0.08)
