@@ -57,7 +57,8 @@ def main():
     ap.add_argument("--rec_iters", type=int, default=200)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--kernel",
-                    choices=["auto", "xla", "packed", "pallas"],
+                    choices=["auto", "xla", "packed", "pallas",
+                             "pallas_int8"],
                     default="auto")
     args = ap.parse_args()
 
@@ -74,10 +75,10 @@ def main():
     kernel = args.kernel
     if kernel == "auto":
         # same resolution DefenseGAN.reconstruct applies: the fused Pallas
-        # kernels (v2 wide / v3 deep) win on the chip; XLA paths elsewhere
-        # (RESULTS.md round-2 measurements)
+        # kernels (int8 v2i wide / bf16 v3 deep) win on the chip; XLA
+        # paths elsewhere (RESULTS.md round-2 measurements)
         if jax.default_backend() in ("tpu", "axon"):
-            kernel = "pallas"
+            kernel = "pallas_int8" if cfg.gen_arch == "wide" else "pallas"
         else:
             kernel = "packed" if cfg.gen_arch == "wide" else "xla"
 

@@ -100,28 +100,35 @@ class DefenseGAN:
         kernel = cfg.projection_kernel
         if kernel == "auto":
             # measured on the v5e (RESULTS.md round 2): the fused Pallas
-            # kernels win outright (wide: v2 3669 vs 2570 xla; deep: v3
-            # 1122 vs 896 xla); back_prop (white-box attack graphs) stays
-            # on the differentiable XLA path. Off-TPU there is no Mosaic —
-            # fall back to the fastest XLA paths.
+            # kernels win outright (wide: int8 v2i 5749 / bf16 v2 3763 vs
+            # 2570 xla; deep: v3 1131 vs 896 xla); back_prop (white-box
+            # attack graphs) stays on the differentiable XLA path. Off-TPU
+            # there is no Mosaic — fall back to the fastest XLA paths.
             on_tpu = jax.default_backend() in ("tpu", "axon")
             if back_prop or not on_tpu:
                 kernel = "packed" if cfg.gen_arch == "wide" else "xla"
             else:
-                kernel = "pallas"
+                # int8 validated equal-quality on the wide arch (best-loss
+                # mean within 2e-4 of xla, defended accuracy identical —
+                # scripts/int8_validate.py); deep uses the bf16 v3 kernel
+                kernel = "pallas_int8"
 
-        if kernel == "pallas" and not back_prop:
+        if kernel in ("pallas", "pallas_int8") and not back_prop:
             from defensegan_tpu.kernels import (
-                dense_kernel_available, make_pallas_dense_reconstructor,
+                dense_kernel_available,
+                make_pallas_dense_int8_reconstructor,
+                make_pallas_dense_reconstructor,
                 make_pallas_s2d_reconstructor, s2d_kernel_available)
             n = x.shape[0] * rr
             if dense_kernel_available(self) and n % 256 == 0:
-                sig = ("pallas-v2", rr, iters, lr)
+                int8 = kernel == "pallas_int8"
+                sig = ("pallas-v2i" if int8 else "pallas-v2", rr, iters, lr)
                 if sig not in self._reconstructors:
-                    self._reconstructors[sig] = \
-                        make_pallas_dense_reconstructor(
-                            self, rec_rr=rr, rec_iters=iters, rec_lr=lr,
-                            momentum=cfg.rec_momentum, tile=256)
+                    make = (make_pallas_dense_int8_reconstructor if int8
+                            else make_pallas_dense_reconstructor)
+                    self._reconstructors[sig] = make(
+                        self, rec_rr=rr, rec_iters=iters, rec_lr=lr,
+                        momentum=cfg.rec_momentum, tile=256)
                 return self._reconstructors[sig](x, key)
             if s2d_kernel_available(self) and n % 64 == 0:
                 sig = ("pallas-v3", rr, iters, lr)
