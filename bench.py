@@ -82,6 +82,19 @@ def main():
         else:
             kernel = "packed" if cfg.gen_arch == "wide" else "xla"
 
+    if kernel in ("pallas", "pallas_int8"):
+        # reconstruct() silently falls back to XLA when the Pallas guards
+        # fail — refuse to mislabel the measurement instead
+        n = args.batch * cfg.rec_rr
+        n_blocks = len(gan.generator.channels)
+        ok = (n_blocks == 1 and n % 256 == 0) or \
+             (n_blocks == 2 and n % 64 == 0)
+        if not ok:
+            sys.exit(f"kernel={kernel} would fall back to XLA for this "
+                     f"topology/batch (batch*rec_rr={n} fails the tile "
+                     "divisibility, or the generator has >2 deconvs); "
+                     "adjust --batch or pass --kernel xla")
+
     key = jax.random.key(0)
     kx, kz = jax.random.split(key)
     x = jax.random.uniform(kx, (args.batch,) + cfg.image_shape, jnp.float32)

@@ -22,13 +22,16 @@ TPU-first design: two drivers over the SAME step math.
     inside a scan over binary-search steps) — the whole attack is ONE
     compiled XLA program, vs cleverhans' per-iteration sess.run round-trips.
     Right whenever logits_fn is cheap (bare classifier).
-  - `carlini_wagner_l2_chunked`: identical math, but the iteration loop is
-    split into host-dispatched scan chunks. Required when logits_fn is very
-    expensive — e.g. the paper's strongest white-box, where every CW step
-    differentiates through the L=200 unrolled Defense-GAN reconstruction:
-    5x1000 such steps fused into one program executes for many minutes,
-    which the TPU runtime kills as a stuck kernel. Chunking bounds each
-    device call while keeping all math on-device.
+  - `make_chunked_cw` / `carlini_wagner_l2_chunked`: identical math, but the
+    iteration loop is split into host-dispatched scan chunks. Required when
+    logits_fn is very expensive — e.g. the paper's strongest white-box,
+    where every CW step differentiates through the L=200 unrolled
+    Defense-GAN reconstruction: 5x1000 such steps fused into one program
+    executes for many minutes, which the TPU runtime kills as a stuck
+    kernel. Chunking bounds each device call while keeping all math
+    on-device. The per-batch data (x, w0, y_onehot) are ARGUMENTS of the
+    jitted chunk, so one compile is reused across all same-shape batches —
+    use the `make_chunked_cw` factory when attacking in a batch loop.
 """
 
 from __future__ import annotations
@@ -66,76 +69,76 @@ def _from_tanh_space(w, cfg: CWConfig):
     return x01 * (cfg.clip_max - cfg.clip_min) + cfg.clip_min
 
 
-def _cw_machinery(logits_fn: LogitsFn, x, labels, cfg: CWConfig,
+def _cw_machinery(logits_fn: LogitsFn, ndim: int, cfg: CWConfig,
                   targeted: bool):
     """Shared pieces of the one-program and chunked drivers.
 
+    All per-batch data (x, w0, y_onehot) are explicit arguments — nothing
+    batch-specific is baked into closures, so jits built over these
+    functions are reused across same-shape batches.
+
     Returns (step, inner_init, bs_init, bs_update):
-      step(inner_carry, c) -> (inner_carry, objective)   one Adam step at
-        constants c [B]; objective = sum_b(l2_b + c_b * hinge_b), the
-        scalar cleverhans' abort_early watches
-      inner_init()                          fresh inner state for a bs step
-      bs_init()                             binary-search carry
+      step(inner_carry, c, x, w0, y_onehot) -> (inner_carry, objective)
+        one Adam step at constants c [B]; objective =
+        sum_b(l2_b + c_b * hinge_b), the scalar cleverhans' abort_early
+        watches
+      inner_init(x, w0)                     fresh inner state for a bs step
+      bs_init(x)                            binary-search carry
       bs_update(bs_carry, l2, adv, found)   bounds + global-best update
     """
-    batch = x.shape[0]
-    # eval_shape: no execution/compile just to read the class count (the
-    # chunked driver runs eagerly, and logits_fn may cost a full recon).
-    num_classes = jax.eval_shape(logits_fn, x[:1]).shape[-1]
-    y_onehot = jax.nn.one_hot(labels, num_classes)
+    sum_axes = tuple(range(1, ndim))
 
-    w0 = _to_tanh_space(x, cfg)
-    sum_axes = tuple(range(1, x.ndim))
-
-    def _margins(logits):
+    def _margins(logits, y_onehot):
         z_lab = jnp.sum(logits * y_onehot, axis=-1)
         z_other = jnp.max(logits - y_onehot * 1e9, axis=-1)
         return z_lab, z_other
 
-    def attack_succeeds(logits):
-        z_lab, z_other = _margins(logits)
+    def attack_succeeds(logits, y_onehot):
+        z_lab, z_other = _margins(logits, y_onehot)
         if targeted:   # reach the target label with margin
             return z_lab - z_other > cfg.confidence
         return z_other - z_lab > cfg.confidence
 
-    def hinge(logits):
-        z_lab, z_other = _margins(logits)
+    def hinge(logits, y_onehot):
+        z_lab, z_other = _margins(logits, y_onehot)
         if targeted:
             return jnp.maximum(z_other - z_lab + cfg.confidence, 0.0)
         return jnp.maximum(z_lab - z_other + cfg.confidence, 0.0)
 
     opt = optax.adam(cfg.learning_rate)
 
-    def loss_fn(modifier, c):
+    def loss_fn(modifier, c, x, w0, y_onehot):
         x_adv = _from_tanh_space(w0 + modifier, cfg)
         logits = logits_fn(x_adv)
         l2 = jnp.sum(jnp.square(x_adv - x), axis=sum_axes)
-        per_ex = l2 + c * hinge(logits)
+        per_ex = l2 + c * hinge(logits, y_onehot)
         return jnp.sum(per_ex), (x_adv, logits, l2)
 
     grad_fn = jax.grad(loss_fn, has_aux=True)
 
-    def step(carry, c):
+    def step(carry, c, x, w0, y_onehot):
         modifier, opt_state, best_l2, best_adv, found = carry
-        g, (x_adv, logits, l2) = grad_fn(modifier, c)
-        ok = attack_succeeds(logits)
+        g, (x_adv, logits, l2) = grad_fn(modifier, c, x, w0, y_onehot)
+        ok = attack_succeeds(logits, y_onehot)
         better = ok & (l2 < best_l2)
         best_l2 = jnp.where(better, l2, best_l2)
-        mask = better.reshape((-1,) + (1,) * (x.ndim - 1))
+        mask = better.reshape((-1,) + (1,) * (ndim - 1))
         best_adv = jnp.where(mask, x_adv, best_adv)
         found = found | ok
         updates, opt_state = opt.update(g, opt_state, modifier)
         modifier = optax.apply_updates(modifier, updates)
-        hinge_val = hinge(logits)
+        hinge_val = hinge(logits, y_onehot)
         objective = jnp.sum(l2 + c * hinge_val)
         return (modifier, opt_state, best_l2, best_adv, found), objective
 
-    def inner_init():
+    def inner_init(x, w0):
+        batch = x.shape[0]
         modifier0 = jnp.zeros_like(w0)
         return (modifier0, opt.init(modifier0),
                 jnp.full((batch,), jnp.inf), x, jnp.zeros((batch,), bool))
 
-    def bs_init():
+    def bs_init(x):
+        batch = x.shape[0]
         c0 = jnp.full((batch,), cfg.initial_const)
         return (c0, jnp.zeros((batch,)), jnp.full((batch,), jnp.inf),
                 jnp.full((batch,), jnp.inf), x)
@@ -144,7 +147,7 @@ def _cw_machinery(logits_fn: LogitsFn, x, labels, cfg: CWConfig,
         c, lower, upper, global_l2, global_adv = carry
         better = found & (l2 < global_l2)
         global_l2 = jnp.where(better, l2, global_l2)
-        mask = better.reshape((-1,) + (1,) * (x.ndim - 1))
+        mask = better.reshape((-1,) + (1,) * (ndim - 1))
         global_adv = jnp.where(mask, adv, global_adv)
         # per-example bounds update (cleverhans semantics)
         upper = jnp.where(found, jnp.minimum(upper, c), upper)
@@ -158,6 +161,13 @@ def _cw_machinery(logits_fn: LogitsFn, x, labels, cfg: CWConfig,
     return step, inner_init, bs_init, bs_update
 
 
+def _onehot_labels(logits_fn, x, labels):
+    # eval_shape: no execution/compile just to read the class count
+    # (logits_fn may cost a full reconstruction)
+    num_classes = jax.eval_shape(logits_fn, x[:1]).shape[-1]
+    return jax.nn.one_hot(labels, num_classes)
+
+
 def carlini_wagner_l2(logits_fn: LogitsFn, x: jnp.ndarray,
                       labels: jnp.ndarray,
                       cfg: CWConfig = CWConfig(),
@@ -169,19 +179,98 @@ def carlini_wagner_l2(logits_fn: LogitsFn, x: jnp.ndarray,
     target labels (targeted=True, cleverhans CarliniWagnerL2 y_target).
     """
     step, inner_init, bs_init, bs_update = _cw_machinery(
-        logits_fn, x, labels, cfg, targeted)
+        logits_fn, x.ndim, cfg, targeted)
+    y_onehot = _onehot_labels(logits_fn, x, labels)
+    w0 = _to_tanh_space(x, cfg)
 
     def bs_step(carry, _):
         c = carry[0]
-        inner, _ = jax.lax.scan(lambda cr, _: (step(cr, c)[0], None),
-                                inner_init(), None,
-                                length=cfg.max_iterations)
+        inner, _ = jax.lax.scan(
+            lambda cr, _: (step(cr, c, x, w0, y_onehot)[0], None),
+            inner_init(x, w0), None, length=cfg.max_iterations)
         _, _, l2, adv, found = inner
         return bs_update(carry, l2, adv, found), None
 
-    (_, _, _, _, adv), _ = jax.lax.scan(bs_step, bs_init(), None,
+    (_, _, _, _, adv), _ = jax.lax.scan(bs_step, bs_init(x), None,
                                         length=cfg.binary_search_steps)
     return adv
+
+
+def make_chunked_cw(logits_fn: LogitsFn, cfg: CWConfig = CWConfig(),
+                    targeted: bool = False, chunk_iters: int = 100,
+                    abort_early: bool = False, verbose: bool = False):
+    """Build a chunked CW attacker: returns attack(x, labels) -> adv.
+
+    Identical math to `carlini_wagner_l2`, executed as a host-driven
+    sequence of scan(chunk_iters) device programs, each synchronized with
+    a host fetch so no device program runs unboundedly long. The jitted
+    chunk takes the batch data as arguments, so ONE compile serves every
+    same-shape batch — build the attacker once, then loop over batches.
+
+    abort_early: cleverhans CarliniWagnerL2's abort_early (its default is
+    True): stop a binary-search step once the objective fails to improve
+    to 0.9999x its value at the previous check. Checks happen at
+    cleverhans' cadence — every max_iterations//10 steps (rounded up to a
+    chunk boundary). Off by default so the attacker is drop-in equivalent
+    to the fused driver; the whitebox CLI exposes --cw_abort_early.
+    """
+    chunk = max(1, min(chunk_iters, cfg.max_iterations))
+    check_every = max(chunk, cfg.max_iterations // 10 or 1)
+    jits = {}
+
+    def attack(x: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+        if "run_chunk" not in jits:
+            step, inner_init, bs_init, bs_update = _cw_machinery(
+                logits_fn, x.ndim, cfg, targeted)
+            jits["inner_init"] = inner_init
+            jits["bs_init"] = bs_init
+            jits["bs_update"] = jax.jit(bs_update)
+
+            @partial(jax.jit, static_argnames="n")
+            def run_chunk(carry, c, x, w0, y_onehot, n):
+                out, objs = jax.lax.scan(
+                    lambda cr, _: step(cr, c, x, w0, y_onehot), carry,
+                    None, length=n)
+                return out, objs[-1]
+
+            jits["run_chunk"] = run_chunk
+
+        y_onehot = _onehot_labels(logits_fn, x, labels)
+        w0 = _to_tanh_space(x, cfg)
+        carry = jits["bs_init"](x)
+        for b in range(cfg.binary_search_steps):
+            c = carry[0]
+            inner = jits["inner_init"](x, w0)
+            done = 0
+            prev_obj = float("inf")
+            next_check = check_every
+            while done < cfg.max_iterations:
+                n = min(chunk, cfg.max_iterations - done)
+                inner, obj = jits["run_chunk"](inner, c, x, w0, y_onehot, n)
+                # honest barrier for this tunnel (see CLAUDE.md): fetch
+                # scalars so at most one chunk is ever in flight
+                n_found = int(jnp.sum(inner[4]))
+                obj = float(obj)
+                done += n
+                if verbose:
+                    print(f"  cw bs {b + 1}/{cfg.binary_search_steps} "
+                          f"iter {done}/{cfg.max_iterations} "
+                          f"(found {n_found}/{x.shape[0]}, obj {obj:.4f})",
+                          flush=True)
+                if abort_early and done >= next_check:
+                    if obj > prev_obj * 0.9999:
+                        if verbose:
+                            print(f"  cw bs {b + 1}: abort_early at iter "
+                                  f"{done} (objective plateaued)",
+                                  flush=True)
+                        break
+                    prev_obj = obj
+                    next_check += check_every
+            _, _, l2, adv, found = inner
+            carry = jits["bs_update"](carry, l2, adv, found)
+        return carry[4]
+
+    return attack
 
 
 def carlini_wagner_l2_chunked(logits_fn: LogitsFn, x: jnp.ndarray,
@@ -191,64 +280,9 @@ def carlini_wagner_l2_chunked(logits_fn: LogitsFn, x: jnp.ndarray,
                               chunk_iters: int = 100,
                               abort_early: bool = False,
                               verbose: bool = False) -> jnp.ndarray:
-    """CW-L2 with identical math to `carlini_wagner_l2`, executed as a
-    host-driven sequence of scan(chunk_iters) device programs.
-
-    Use when logits_fn is expensive enough that the fused program would run
-    for minutes per call (attack-through-defense: every step differentiates
-    through the unrolled L-step reconstruction). NOT jittable from outside —
-    it jits its own chunks. Each chunk is synchronized with a host fetch so
-    no device program runs unboundedly long.
-
-    abort_early: cleverhans CarliniWagnerL2's abort_early (its default is
-    True): stop a binary-search step once the objective fails to improve to
-    0.9999x its value at the previous check. Checks happen at cleverhans'
-    cadence — every max_iterations//10 steps (rounded up to a chunk
-    boundary). Off by default so the function is drop-in equivalent to the
-    fused driver; the whitebox CLI exposes --cw_abort_early.
-    """
-    step, inner_init, bs_init, bs_update = _cw_machinery(
-        logits_fn, x, labels, cfg, targeted)
-    chunk_iters = max(1, min(chunk_iters, cfg.max_iterations))
-
-    @partial(jax.jit, static_argnames="n")
-    def run_chunk(carry, c, n):
-        out, objs = jax.lax.scan(lambda cr, _: step(cr, c), carry,
-                                 None, length=n)
-        return out, objs[-1]
-
-    bs_update_j = jax.jit(bs_update)
-
-    check_every = max(chunk_iters, cfg.max_iterations // 10 or 1)
-
-    carry = bs_init()
-    for b in range(cfg.binary_search_steps):
-        c = carry[0]
-        inner = inner_init()
-        done = 0
-        prev_obj = float("inf")
-        next_check = check_every
-        while done < cfg.max_iterations:
-            n = min(chunk_iters, cfg.max_iterations - done)
-            inner, obj = run_chunk(inner, c, n)
-            # honest barrier for this tunnel (see CLAUDE.md): fetch scalars
-            # so at most one chunk is ever in flight on the device
-            n_found = int(jnp.sum(inner[4]))
-            obj = float(obj)
-            done += n
-            if verbose:
-                print(f"  cw bs {b + 1}/{cfg.binary_search_steps} "
-                      f"iter {done}/{cfg.max_iterations} "
-                      f"(found {n_found}/{x.shape[0]}, obj {obj:.4f})",
-                      flush=True)
-            if abort_early and done >= next_check:
-                if obj > prev_obj * 0.9999:
-                    if verbose:
-                        print(f"  cw bs {b + 1}: abort_early at iter {done} "
-                              f"(objective plateaued)", flush=True)
-                    break
-                prev_obj = obj
-                next_check += check_every
-        _, _, l2, adv, found = inner
-        carry = bs_update_j(carry, l2, adv, found)
-    return carry[4]
+    """One-shot convenience wrapper over `make_chunked_cw` (compiles per
+    call — prefer the factory when attacking multiple batches)."""
+    return make_chunked_cw(logits_fn, cfg, targeted=targeted,
+                           chunk_iters=chunk_iters,
+                           abort_early=abort_early,
+                           verbose=verbose)(x, labels)

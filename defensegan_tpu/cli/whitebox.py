@@ -24,8 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from defensegan_tpu.attacks import (CWConfig, carlini_wagner_l2,
-                                    carlini_wagner_l2_chunked, fgsm,
-                                    rand_fgsm)
+                                    fgsm, make_chunked_cw, rand_fgsm)
 from defensegan_tpu.cli.common import (add_cfg_args, cfg_from_args, limit,
                                        load_data, load_gan)
 from defensegan_tpu.eval import model_eval, model_eval_gan, train_classifier
@@ -129,6 +128,9 @@ def main(argv=None):
                     help="dump original|adversarial|purified grids into "
                     "results_dir (reference: utils/visualize.py dumps)")
     args = ap.parse_args(argv)
+    if args.cw_abort_early and args.cw_chunk_iters < 0:
+        ap.error("--cw_abort_early requires the chunked CW driver; drop "
+                 "--cw_chunk_iters -1 (0 = auto-chunk) or the abort flag")
     if args.attack_type == "rand_fgsm" and args.alpha >= args.fgsm_eps:
         ap.error(f"--alpha ({args.alpha}) must be < --fgsm_eps "
                  f"({args.fgsm_eps}) for rand_fgsm (the FGSM step is "
@@ -216,12 +218,15 @@ def main(argv=None):
             if chunk > 0:
                 print(f"CW: host-chunked, {chunk} iterations per device call"
                       + (", abort_early" if args.cw_abort_early else ""))
+                # factory: the jitted chunk is compiled once and reused
+                # across all attack batches
+                chunked = make_chunked_cw(
+                    attack_target, cw_cfg, chunk_iters=chunk,
+                    abort_early=args.cw_abort_early,
+                    verbose=through_defense)
 
                 def craft(xb, yb, k):
-                    return carlini_wagner_l2_chunked(
-                        attack_target, xb, yb, cw_cfg, chunk_iters=chunk,
-                        abort_early=args.cw_abort_early,
-                        verbose=through_defense)
+                    return chunked(xb, yb)
             else:
                 @jax.jit
                 def craft(xb, yb, k):

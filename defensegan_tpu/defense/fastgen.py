@@ -278,6 +278,14 @@ def pack_generator(generator: Generator, params: dict, batch_stats: dict,
         in_hw = out_hw // 2
         in_c = kern.shape[2]
         feat = in_hw * in_hw * in_c
+        if feat > 16384:
+            # the identity probe is O(feat^2) memory — 64x64 archs would
+            # allocate an ~feat x 4*feat f32 matrix (tens of GB)
+            raise ValueError(
+                f"variant={variant!r} materializes the final deconv as a "
+                f"dense [{feat}, {4 * feat}] matrix — too large for this "
+                f"topology (final-deconv input {in_hw}x{in_hw}x{in_c}); "
+                "use variant='conv' (or 's2d'/'phase') instead")
         eye = np.eye(feat, dtype=np.float32).reshape(feat, in_hw, in_hw, in_c)
         cols = jax.lax.conv_transpose(
             jnp.asarray(eye), jnp.asarray(kern), strides=(2, 2),

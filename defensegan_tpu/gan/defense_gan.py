@@ -113,7 +113,11 @@ class DefenseGAN:
                 # scripts/int8_validate.py); deep uses the bf16 v3 kernel
                 kernel = "pallas_int8"
 
-        if kernel in ("pallas", "pallas_int8") and not back_prop:
+        # explicit pallas requests degrade to the XLA paths off-TPU (no
+        # Mosaic there) and for back_prop graphs, honoring the config
+        # docstring's fallback promise
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if kernel in ("pallas", "pallas_int8") and not back_prop and on_tpu:
             from defensegan_tpu.kernels import (
                 dense_kernel_available,
                 make_pallas_dense_int8_reconstructor,
@@ -280,35 +284,38 @@ class DefenseGAN:
             else:
                 state, metrics = self._train_chunk(state, data, step_key, n)
             it += n
-            if it % log_every == 0 or it == iters:
-                m = {k: float(v) for k, v in metrics.items()}
-                if not all(np.isfinite(v) for v in m.values()):
-                    if on_divergence == "restore" and latest_step(
-                            cfg.output_dir) is not None:
-                        print(f"[{cfg.type}] step {it}: non-finite metrics "
-                              f"{m}; restoring latest checkpoint")
-                        state = restore_checkpoint(cfg.output_dir,
-                                                   self.state)
-                        key = jax.random.fold_in(key, it)
-                        # return value must not carry the diverged metrics;
-                        # fall back to the last finite logged ones (and let
-                        # the sample/save blocks below still run on the
-                        # restored state — matters when it == iters)
-                        metrics = dict(last_good)
-                    else:
-                        raise RuntimeError(
-                            f"training diverged at step {it}: {m}")
+            # Divergence check at EVERY boundary (metrics are fetched per
+            # chunk), not only log boundaries — otherwise a NaN state
+            # reached in a chunk ending on a save-only boundary would be
+            # checkpointed below and then re-restored forever.
+            m = {k: float(v) for k, v in metrics.items()}
+            if not all(np.isfinite(v) for v in m.values()):
+                if on_divergence == "restore" and latest_step(
+                        cfg.output_dir) is not None:
+                    print(f"[{cfg.type}] step {it}: non-finite metrics "
+                          f"{m}; restoring latest checkpoint")
+                    state = restore_checkpoint(cfg.output_dir,
+                                               self.state)
+                    key = jax.random.fold_in(key, it)
+                    # return value must not carry the diverged metrics;
+                    # fall back to the last finite logged ones (and let
+                    # the sample/save blocks below still run on the
+                    # restored state — matters when it == iters)
+                    metrics = dict(last_good)
                 else:
-                    last_good = m
-                    m = dict(m, step=it,
-                             wall_s=round(time.time() - t0, 2))
-                    append_jsonl(
-                        os.path.join(cfg.output_dir, "metrics.jsonl"), m)
-                    if not quiet:
-                        print(f"[{cfg.type}] step {it}/{iters} "
-                              f"w={m.get('wasserstein', 0):+.4f} "
-                              f"g={m.get('g_loss', 0):+.4f} "
-                              f"gp={m.get('gp', 0):.4f}")
+                    raise RuntimeError(
+                        f"training diverged at step {it}: {m}")
+            elif it % log_every == 0 or it == iters:
+                last_good = m
+                m = dict(m, step=it,
+                         wall_s=round(time.time() - t0, 2))
+                append_jsonl(
+                    os.path.join(cfg.output_dir, "metrics.jsonl"), m)
+                if not quiet:
+                    print(f"[{cfg.type}] step {it}/{iters} "
+                          f"w={m.get('wasserstein', 0):+.4f} "
+                          f"g={m.get('g_loss', 0):+.4f} "
+                          f"gp={m.get('gp', 0):.4f}")
             if it % cfg.sample_every == 0 or it == iters:
                 self.state = state
                 grid = self.generate(sample_key, 64)

@@ -8,8 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from defensegan_tpu.attacks import (CWConfig, carlini_wagner_l2,
-                                    carlini_wagner_l2_chunked, fgsm,
-                                    rand_fgsm)
+                                    carlini_wagner_l2_chunked,
+                                    fgsm, make_chunked_cw, rand_fgsm)
 from defensegan_tpu.data.synthetic import make_synthetic
 from defensegan_tpu.eval import model_eval, train_classifier
 from defensegan_tpu.models import build_classifier
@@ -118,6 +118,22 @@ def test_cw_chunked_matches_fused():
             logits_fn, xb, yb, cfg, chunk_iters=chunk))
         np.testing.assert_allclose(chunked, fused, atol=1e-6,
                                    err_msg=f"chunk_iters={chunk}")
+
+
+def test_make_chunked_cw_factory_matches_fused_across_batches():
+    """The factory's jitted chunk takes batch data as arguments (one
+    compile for all same-shape batches); each batch must still match the
+    fused driver exactly."""
+    state, x, y = _trained_small_classifier()
+    logits_fn = state.logits_fn()
+    cfg = CWConfig(binary_search_steps=2, max_iterations=30,
+                   initial_const=1.0, learning_rate=1e-2)
+    attack = make_chunked_cw(logits_fn, cfg, chunk_iters=8)
+    for sl in (slice(0, 16), slice(16, 32)):
+        xb, yb = jnp.asarray(x[sl]), jnp.asarray(y[sl])
+        fused = np.asarray(carlini_wagner_l2(logits_fn, xb, yb, cfg))
+        got = np.asarray(attack(xb, yb))
+        np.testing.assert_allclose(got, fused, atol=1e-6)
 
 
 def test_cw_chunked_abort_early_still_attacks():

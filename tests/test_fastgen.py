@@ -70,6 +70,16 @@ def test_s2d_rejects_deep_celeba_stack():
         pack_generator(gen, params, stats, variant="s2d")
 
 
+def test_hybrid_rejects_64x64_dense_probe():
+    """The hybrid/dense identity probe is O(feat^2) memory; 64x64 archs
+    (final-deconv input 32x32xC) must be rejected with a clear error, not
+    a tens-of-GB allocation."""
+    gen = generator_for("celeba", dim=64, dtype=jnp.float32, arch="deep")
+    params, stats = _init_gen(gen, jax.random.key(0))
+    with pytest.raises(ValueError, match="too large"):
+        pack_generator(gen, params, stats, variant="hybrid")
+
+
 def test_s2d_perm_roundtrip():
     gen = generator_for("mnist", dim=8, dtype=jnp.float32, arch="deep")
     params, stats = _init_gen(gen, jax.random.key(0))
