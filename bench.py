@@ -83,16 +83,27 @@ def main():
             kernel = "packed" if cfg.gen_arch == "wide" else "xla"
 
     if kernel in ("pallas", "pallas_int8"):
-        # reconstruct() silently falls back to XLA when the Pallas guards
-        # fail — refuse to mislabel the measurement instead
+        # reconstruct() silently degrades when the Pallas guards fail —
+        # refuse to mislabel the measurement instead. Use the kernels'
+        # own availability predicates (single source of truth with the
+        # reconstruct() dispatch).
+        from defensegan_tpu.kernels import (dense_kernel_available,
+                                            s2d_kernel_available)
+        if jax.default_backend() not in ("tpu", "axon"):
+            sys.exit(f"kernel={kernel} needs a TPU backend (reconstruct "
+                     "degrades to XLA off-TPU, which would mislabel the "
+                     "JSON record); pass --kernel xla/packed off-TPU")
         n = args.batch * cfg.rec_rr
-        n_blocks = len(gan.generator.channels)
-        ok = (n_blocks == 1 and n % 256 == 0) or \
-             (n_blocks == 2 and n % 64 == 0)
-        if not ok:
+        if dense_kernel_available(gan) and n % 256 == 0:
+            pass  # wide v2/v2i runs as requested
+        elif s2d_kernel_available(gan) and n % 64 == 0:
+            # deep topologies only have the bf16 v3 kernel — report what
+            # actually runs
+            kernel = "pallas"
+        else:
             sys.exit(f"kernel={kernel} would fall back to XLA for this "
                      f"topology/batch (batch*rec_rr={n} fails the tile "
-                     "divisibility, or the generator has >2 deconvs); "
+                     "divisibility, or the topology isn't covered); "
                      "adjust --batch or pass --kernel xla")
 
     key = jax.random.key(0)

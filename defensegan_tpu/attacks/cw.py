@@ -216,15 +216,13 @@ def make_chunked_cw(logits_fn: LogitsFn, cfg: CWConfig = CWConfig(),
     """
     chunk = max(1, min(chunk_iters, cfg.max_iterations))
     check_every = max(chunk, cfg.max_iterations // 10 or 1)
-    jits = {}
+    by_ndim = {}  # machinery is rank-dependent (sum axes, where-masks)
 
     def attack(x: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
-        if "run_chunk" not in jits:
+        jits = by_ndim.get(x.ndim)
+        if jits is None:
             step, inner_init, bs_init, bs_update = _cw_machinery(
                 logits_fn, x.ndim, cfg, targeted)
-            jits["inner_init"] = inner_init
-            jits["bs_init"] = bs_init
-            jits["bs_update"] = jax.jit(bs_update)
 
             @partial(jax.jit, static_argnames="n")
             def run_chunk(carry, c, x, w0, y_onehot, n):
@@ -233,7 +231,10 @@ def make_chunked_cw(logits_fn: LogitsFn, cfg: CWConfig = CWConfig(),
                     None, length=n)
                 return out, objs[-1]
 
-            jits["run_chunk"] = run_chunk
+            jits = {"inner_init": inner_init, "bs_init": bs_init,
+                    "bs_update": jax.jit(bs_update),
+                    "run_chunk": run_chunk}
+            by_ndim[x.ndim] = jits
 
         y_onehot = _onehot_labels(logits_fn, x, labels)
         w0 = _to_tanh_space(x, cfg)

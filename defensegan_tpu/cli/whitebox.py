@@ -128,7 +128,8 @@ def main(argv=None):
                     help="dump original|adversarial|purified grids into "
                     "results_dir (reference: utils/visualize.py dumps)")
     args = ap.parse_args(argv)
-    if args.cw_abort_early and args.cw_chunk_iters < 0:
+    if (args.attack_type == "cw" and args.cw_abort_early
+            and args.cw_chunk_iters < 0):
         ap.error("--cw_abort_early requires the chunked CW driver; drop "
                  "--cw_chunk_iters -1 (0 = auto-chunk) or the abort flag")
     if args.attack_type == "rand_fgsm" and args.alpha >= args.fgsm_eps:

@@ -97,6 +97,7 @@ class DefenseGAN:
         lr = rec_lr if rec_lr is not None else cfg.rec_lr
         key = key if key is not None else jax.random.key(cfg.seed + 1)
 
+        on_tpu = jax.default_backend() in ("tpu", "axon")
         kernel = cfg.projection_kernel
         if kernel == "auto":
             # measured on the v5e (RESULTS.md round 2): the fused Pallas
@@ -104,7 +105,6 @@ class DefenseGAN:
             # 2570 xla; deep: v3 1131 vs 896 xla); back_prop (white-box
             # attack graphs) stays on the differentiable XLA path. Off-TPU
             # there is no Mosaic — fall back to the fastest XLA paths.
-            on_tpu = jax.default_backend() in ("tpu", "axon")
             if back_prop or not on_tpu:
                 kernel = "packed" if cfg.gen_arch == "wide" else "xla"
             else:
@@ -116,7 +116,6 @@ class DefenseGAN:
         # explicit pallas requests degrade to the XLA paths off-TPU (no
         # Mosaic there) and for back_prop graphs, honoring the config
         # docstring's fallback promise
-        on_tpu = jax.default_backend() in ("tpu", "axon")
         if kernel in ("pallas", "pallas_int8") and not back_prop and on_tpu:
             from defensegan_tpu.kernels import (
                 dense_kernel_available,
