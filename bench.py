@@ -5,18 +5,26 @@ Measures the projection defense (R=10 restarts x L=200 momentum-SGD steps on
 z, argmin-restart selection — reference defaults of kabkabm/defensegan
 models/gan.py::reconstruct) on the real TPU chip.
 
-Default --cfg is configs/gans/mnist_fast.yml — the TPU-first flagship
-generator (GEN_ARCH=wide, GEN_DIM=16; validated defense-quality-equivalent
-to the deep reference topology, see RESULTS.md). Pass
---cfg defensegan_tpu/configs/gans/mnist.yml for the reference-depth
-generator (latent_dim=128, gen_dim=64, 3-deconv DCGAN stack); the JSON
-output names the generator in gen_arch/gen_dim so the two are never
-conflated.
+Two configs are measured in ONE run (VERDICT round-2 item 2):
+  - headline: configs/gans/mnist_fast.yml — the TPU-first flagship
+    generator (GEN_ARCH=wide, GEN_DIM=16; validated defense-quality-
+    equivalent to the deep reference topology, RESULTS.md). Runs the int8
+    v2i Pallas kernel — int8 is opt-in in the library (auto = bf16 v2;
+    round-2 advisor), but the bench requests it explicitly because its
+    defense-quality gate ran on exactly this checkpoint
+    (scripts/int8_validate.py).
+  - deep: configs/gans/mnist.yml — the reference-faithful deep/dim64
+    topology (latent 128, two-deconv DCGAN stack), bf16 v3 Pallas kernel.
+    Emitted as deep_value/deep_kernel/deep_vs_baseline fields so the
+    driver artifact carries BOTH >=1000 numbers.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "gen_arch",
-"gen_dim", "kernel"} where vs_baseline is value / 1000 (the BASELINE.json
-target of >=1000 recon/s/chip on TPU v5e; the reference publishes no
-throughput numbers at all).
+"gen_dim", "kernel", "deep_value", "deep_kernel", "deep_vs_baseline"} where
+vs_baseline is value / 1000 (the BASELINE.json target of >=1000
+recon/s/chip on TPU v5e; the reference publishes no throughput numbers).
+
+--trace <dir>: additionally capture a jax.profiler (Perfetto/XProf) trace
+of one timed headline repeat (SURVEY.md section 5 tracing row).
 """
 
 import argparse
@@ -35,82 +43,41 @@ from defensegan_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
 from defensegan_tpu.configs import load_config  # noqa: E402
-from defensegan_tpu.defense import reconstruct, sample_z0  # noqa: E402
 from defensegan_tpu.gan import DefenseGAN  # noqa: E402
+from defensegan_tpu.gan.defense_gan import resolve_projection_kernel  # noqa: E402
 
 BASELINE_TARGET = 1000.0  # recon/s/chip, BASELINE.json rebuild target
+CFG_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "defensegan_tpu", "configs", "gans")
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--cfg", default=None,
-                    help="config YAML or trained-run dir (default: the "
-                    "shipped MNIST fast config, mnist_fast.yml; use "
-                    "configs/gans/mnist.yml for the reference-depth "
-                    "generator)")
-    ap.add_argument("--batch", type=int, default=16384,
-                    help="16384 is the measured throughput-optimal batch "
-                    "for both Pallas kernels (scripts/round2_queue_d.py "
-                    "occupancy sweep: v2 3760 recon/s at 16384 vs 3685 at "
-                    "4096; v3 flat)")
-    ap.add_argument("--rec_rr", type=int, default=10)
-    ap.add_argument("--rec_iters", type=int, default=200)
-    ap.add_argument("--repeats", type=int, default=3)
-    ap.add_argument("--kernel",
-                    choices=["auto", "xla", "packed", "pallas",
-                             "pallas_int8"],
-                    default="auto")
-    args = ap.parse_args()
-
-    cfg_path = args.cfg or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "defensegan_tpu", "configs", "gans", "mnist_fast.yml")
-    overrides = {"rec_rr": args.rec_rr, "rec_iters": args.rec_iters}
+def measure(cfg_path, batch, rec_rr, rec_iters, repeats, kernel,
+            trace_dir=None):
+    """Measure one config. Returns (recon/s, resolved_kernel, cfg)."""
+    overrides = {"rec_rr": rec_rr, "rec_iters": rec_iters}
     cfg = load_config(cfg_path, overrides)
     gan = DefenseGAN(cfg)
     if gan.can_load():
         gan.load()  # use trained weights when available; random init is
         # throughput-equivalent (same FLOPs) otherwise
 
-    kernel = args.kernel
-    if kernel == "auto":
-        # same resolution DefenseGAN.reconstruct applies: the fused Pallas
-        # kernels (int8 v2i wide / bf16 v3 deep) win on the chip; XLA
-        # paths elsewhere (RESULTS.md round-2 measurements)
-        if jax.default_backend() in ("tpu", "axon"):
-            kernel = "pallas_int8" if cfg.gen_arch == "wide" else "pallas"
-        else:
-            kernel = "packed" if cfg.gen_arch == "wide" else "xla"
-
-    if kernel in ("pallas", "pallas_int8"):
-        # reconstruct() silently degrades when the Pallas guards fail —
-        # refuse to mislabel the measurement instead. Use the kernels'
-        # own availability predicates (single source of truth with the
-        # reconstruct() dispatch).
-        from defensegan_tpu.kernels import (dense_kernel_available,
-                                            s2d_kernel_available)
-        if jax.default_backend() not in ("tpu", "axon"):
-            sys.exit(f"kernel={kernel} needs a TPU backend (reconstruct "
-                     "degrades to XLA off-TPU, which would mislabel the "
-                     "JSON record); pass --kernel xla/packed off-TPU")
-        n = args.batch * cfg.rec_rr
-        if dense_kernel_available(gan) and n % 256 == 0:
-            pass  # wide v2/v2i runs as requested
-        elif s2d_kernel_available(gan) and n % 64 == 0:
-            # deep topologies only have the bf16 v3 kernel — report what
-            # actually runs
-            kernel = "pallas"
-        else:
-            sys.exit(f"kernel={kernel} would fall back to XLA for this "
-                     f"topology/batch (batch*rec_rr={n} fails the tile "
-                     "divisibility, or the topology isn't covered); "
-                     "adjust --batch or pass --kernel xla")
+    if kernel == "auto" and jax.default_backend() in ("tpu", "axon"):
+        # bench-specific default: int8 v2i for the wide flagship (quality
+        # gate ran on this checkpoint), bf16 v3 for deep (int8 v3 measured
+        # slower — RESULTS.md)
+        kernel = "pallas_int8" if cfg.gen_arch == "wide" else "pallas"
+    # single source of truth with DefenseGAN.reconstruct — report what
+    # ACTUALLY runs rather than mislabeling a silently-degraded path
+    resolved = resolve_projection_kernel(gan, n=batch * cfg.rec_rr,
+                                         requested=kernel)
+    if resolved != kernel:
+        print(f"note: kernel={kernel} not runnable for this "
+              f"topology/batch; measuring {resolved}", file=sys.stderr)
+    cfg.projection_kernel = resolved  # dataclass field, reconstruct reads it
 
     key = jax.random.key(0)
     kx, kz = jax.random.split(key)
-    x = jax.random.uniform(kx, (args.batch,) + cfg.image_shape, jnp.float32)
-
-    cfg.projection_kernel = kernel  # dataclass field, reconstruct reads it
+    x = jax.random.uniform(kx, (batch,) + cfg.image_shape, jnp.float32)
 
     def bench_fn(x, k):
         return gan.reconstruct(x, k).x_hat
@@ -121,24 +88,75 @@ def main():
     float(jnp.sum(bench_fn(x, kz)))  # warmup / compile
 
     times = []
-    for i in range(args.repeats):
+    for i in range(repeats):
         k = jax.random.fold_in(kz, i)
         t0 = time.perf_counter()
         float(jnp.sum(bench_fn(x, k)))
         times.append(time.perf_counter() - t0)
-    dt = min(times)
-    value = args.batch / dt
-    print(json.dumps({
+    if trace_dir:
+        from defensegan_tpu.utils.profiling import trace
+        with trace(trace_dir):
+            float(jnp.sum(bench_fn(x, jax.random.fold_in(kz, 999))))
+        print(f"profiler trace written under {trace_dir}", file=sys.stderr)
+    return batch / min(times), resolved, cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cfg", default=None,
+                    help="config YAML or trained-run dir (default: the "
+                    "shipped MNIST fast config, mnist_fast.yml)")
+    ap.add_argument("--deep_cfg",
+                    default=os.path.join(CFG_DIR, "mnist.yml"),
+                    help="reference-faithful deep config measured alongside "
+                    "the headline (emitted as deep_* fields); pass '' to "
+                    "skip")
+    ap.add_argument("--batch", type=int, default=16384,
+                    help="16384 is the measured throughput-optimal batch "
+                    "for the v2 kernels (scripts/round2_queue_d.py "
+                    "occupancy sweep)")
+    ap.add_argument("--deep_batch", type=int, default=4096,
+                    help="v3 throughput is flat in batch (1116/1130/1135 "
+                    "at 2048/4096/8192); 4096 keeps the deep leg short")
+    ap.add_argument("--rec_rr", type=int, default=10)
+    ap.add_argument("--rec_iters", type=int, default=200)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--kernel",
+                    choices=["auto", "xla", "packed", "pallas",
+                             "pallas_int8"],
+                    default="auto")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of one headline "
+                    "repeat into DIR (view with xprof/Perfetto)")
+    args = ap.parse_args()
+
+    cfg_path = args.cfg or os.path.join(CFG_DIR, "mnist_fast.yml")
+    value, kernel, cfg = measure(cfg_path, args.batch, args.rec_rr,
+                                 args.rec_iters, args.repeats, args.kernel,
+                                 trace_dir=args.trace)
+    record = {
         "metric": "mnist_reconstructions_per_sec_per_chip",
         "value": round(value, 2),
-        "unit": f"recon/s (R={cfg.rec_rr}, L={cfg.rec_iters}, "
+        "unit": f"recon/s (R={args.rec_rr}, L={args.rec_iters}, "
                 f"batch={args.batch}, {kernel}, gen={cfg.gen_arch}/"
                 f"dim{cfg.gen_dim})",
         "vs_baseline": round(value / BASELINE_TARGET, 4),
         "gen_arch": cfg.gen_arch,
         "gen_dim": cfg.gen_dim,
         "kernel": kernel,
-    }))
+    }
+    if args.deep_cfg:
+        dv, dk, dcfg = measure(args.deep_cfg, args.deep_batch, args.rec_rr,
+                               args.rec_iters, args.repeats, args.kernel)
+        record.update({
+            "deep_value": round(dv, 2),
+            "deep_kernel": dk,
+            "deep_vs_baseline": round(dv / BASELINE_TARGET, 4),
+            "deep_unit": f"recon/s (R={args.rec_rr}, L={args.rec_iters}, "
+                         f"batch={args.deep_batch}, {dk}, "
+                         f"gen={dcfg.gen_arch}/dim{dcfg.gen_dim})",
+        })
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

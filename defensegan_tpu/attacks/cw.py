@@ -70,18 +70,24 @@ def _from_tanh_space(w, cfg: CWConfig):
 
 
 def _cw_machinery(logits_fn: LogitsFn, ndim: int, cfg: CWConfig,
-                  targeted: bool):
+                  targeted: bool, keyed: bool = False):
     """Shared pieces of the one-program and chunked drivers.
 
-    All per-batch data (x, w0, y_onehot) are explicit arguments — nothing
-    batch-specific is baked into closures, so jits built over these
-    functions are reused across same-shape batches.
+    All per-batch data (x, w0, y_onehot, and — when keyed — a PRNG key) are
+    explicit arguments — nothing batch-specific is baked into closures, so
+    jits built over these functions are reused across same-shape batches.
+
+    keyed=True: logits_fn takes (x, key) instead of (x) — used when the
+    attack target is stochastic (classifier composed with the
+    random-restart Defense-GAN reconstruction) so each attack batch can
+    differentiate through reconstructions seeded with ITS OWN key instead
+    of a fixed constant (VERDICT round-2 weak item 5).
 
     Returns (step, inner_init, bs_init, bs_update):
-      step(inner_carry, c, x, w0, y_onehot) -> (inner_carry, objective)
+      step(inner_carry, c, x, w0, y_onehot, key) -> (inner_carry, objective)
         one Adam step at constants c [B]; objective =
         sum_b(l2_b + c_b * hinge_b), the scalar cleverhans' abort_early
-        watches
+        watches; key is None for unkeyed logits_fn
       inner_init(x, w0)                     fresh inner state for a bs step
       bs_init(x)                            binary-search carry
       bs_update(bs_carry, l2, adv, found)   bounds + global-best update
@@ -107,18 +113,18 @@ def _cw_machinery(logits_fn: LogitsFn, ndim: int, cfg: CWConfig,
 
     opt = optax.adam(cfg.learning_rate)
 
-    def loss_fn(modifier, c, x, w0, y_onehot):
+    def loss_fn(modifier, c, x, w0, y_onehot, key):
         x_adv = _from_tanh_space(w0 + modifier, cfg)
-        logits = logits_fn(x_adv)
+        logits = logits_fn(x_adv, key) if keyed else logits_fn(x_adv)
         l2 = jnp.sum(jnp.square(x_adv - x), axis=sum_axes)
         per_ex = l2 + c * hinge(logits, y_onehot)
         return jnp.sum(per_ex), (x_adv, logits, l2)
 
     grad_fn = jax.grad(loss_fn, has_aux=True)
 
-    def step(carry, c, x, w0, y_onehot):
+    def step(carry, c, x, w0, y_onehot, key=None):
         modifier, opt_state, best_l2, best_adv, found = carry
-        g, (x_adv, logits, l2) = grad_fn(modifier, c, x, w0, y_onehot)
+        g, (x_adv, logits, l2) = grad_fn(modifier, c, x, w0, y_onehot, key)
         ok = attack_succeeds(logits, y_onehot)
         better = ok & (l2 < best_l2)
         best_l2 = jnp.where(better, l2, best_l2)
@@ -161,32 +167,37 @@ def _cw_machinery(logits_fn: LogitsFn, ndim: int, cfg: CWConfig,
     return step, inner_init, bs_init, bs_update
 
 
-def _onehot_labels(logits_fn, x, labels):
+def _onehot_labels(logits_fn, x, labels, key=None, keyed=False):
     # eval_shape: no execution/compile just to read the class count
     # (logits_fn may cost a full reconstruction)
-    num_classes = jax.eval_shape(logits_fn, x[:1]).shape[-1]
+    fn = (lambda xx: logits_fn(xx, key)) if keyed else logits_fn
+    num_classes = jax.eval_shape(fn, x[:1]).shape[-1]
     return jax.nn.one_hot(labels, num_classes)
 
 
 def carlini_wagner_l2(logits_fn: LogitsFn, x: jnp.ndarray,
                       labels: jnp.ndarray,
                       cfg: CWConfig = CWConfig(),
-                      targeted: bool = False) -> jnp.ndarray:
+                      targeted: bool = False,
+                      key: jnp.ndarray = None) -> jnp.ndarray:
     """CW-L2 as one fused program. Returns adversarial examples (x where
     none found). Jit-compatible; call under jax.jit for best performance.
 
     labels: true labels (untargeted, default — the paper's setting) or
     target labels (targeted=True, cleverhans CarliniWagnerL2 y_target).
+    key: when given, logits_fn is treated as keyed — fn(x, key) — for
+    stochastic attack targets (see _cw_machinery).
     """
+    keyed = key is not None
     step, inner_init, bs_init, bs_update = _cw_machinery(
-        logits_fn, x.ndim, cfg, targeted)
-    y_onehot = _onehot_labels(logits_fn, x, labels)
+        logits_fn, x.ndim, cfg, targeted, keyed=keyed)
+    y_onehot = _onehot_labels(logits_fn, x, labels, key, keyed)
     w0 = _to_tanh_space(x, cfg)
 
     def bs_step(carry, _):
         c = carry[0]
         inner, _ = jax.lax.scan(
-            lambda cr, _: (step(cr, c, x, w0, y_onehot)[0], None),
+            lambda cr, _: (step(cr, c, x, w0, y_onehot, key)[0], None),
             inner_init(x, w0), None, length=cfg.max_iterations)
         _, _, l2, adv, found = inner
         return bs_update(carry, l2, adv, found), None
@@ -198,8 +209,9 @@ def carlini_wagner_l2(logits_fn: LogitsFn, x: jnp.ndarray,
 
 def make_chunked_cw(logits_fn: LogitsFn, cfg: CWConfig = CWConfig(),
                     targeted: bool = False, chunk_iters: int = 100,
-                    abort_early: bool = False, verbose: bool = False):
-    """Build a chunked CW attacker: returns attack(x, labels) -> adv.
+                    abort_early: bool = False, verbose: bool = False,
+                    keyed_logits: bool = False):
+    """Build a chunked CW attacker: returns attack(x, labels[, key]) -> adv.
 
     Identical math to `carlini_wagner_l2`, executed as a host-driven
     sequence of scan(chunk_iters) device programs, each synchronized with
@@ -210,24 +222,35 @@ def make_chunked_cw(logits_fn: LogitsFn, cfg: CWConfig = CWConfig(),
     abort_early: cleverhans CarliniWagnerL2's abort_early (its default is
     True): stop a binary-search step once the objective fails to improve
     to 0.9999x its value at the previous check. Checks happen at
-    cleverhans' cadence — every max_iterations//10 steps (rounded up to a
-    chunk boundary). Off by default so the attacker is drop-in equivalent
+    cleverhans' cadence — every max_iterations//10 steps; the chunk size
+    is capped at that cadence so the check can actually fire (with
+    chunk >= max_iterations the loop used to end before the first check —
+    round-2 advisor). Off by default so the attacker is drop-in equivalent
     to the fused driver; the whitebox CLI exposes --cw_abort_early.
+
+    keyed_logits: logits_fn takes (x, key); attack() then accepts a
+    per-batch key (see _cw_machinery).
     """
     chunk = max(1, min(chunk_iters, cfg.max_iterations))
+    if abort_early:
+        chunk = min(chunk, max(1, cfg.max_iterations // 10))
     check_every = max(chunk, cfg.max_iterations // 10 or 1)
     by_ndim = {}  # machinery is rank-dependent (sum axes, where-masks)
 
-    def attack(x: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    def attack(x: jnp.ndarray, labels: jnp.ndarray,
+               key: jnp.ndarray = None) -> jnp.ndarray:
+        if keyed_logits and key is None:
+            raise ValueError("keyed_logits=True: attack(x, labels, key) "
+                             "needs a PRNG key")
         jits = by_ndim.get(x.ndim)
         if jits is None:
             step, inner_init, bs_init, bs_update = _cw_machinery(
-                logits_fn, x.ndim, cfg, targeted)
+                logits_fn, x.ndim, cfg, targeted, keyed=keyed_logits)
 
             @partial(jax.jit, static_argnames="n")
-            def run_chunk(carry, c, x, w0, y_onehot, n):
+            def run_chunk(carry, c, x, w0, y_onehot, key, n):
                 out, objs = jax.lax.scan(
-                    lambda cr, _: step(cr, c, x, w0, y_onehot), carry,
+                    lambda cr, _: step(cr, c, x, w0, y_onehot, key), carry,
                     None, length=n)
                 return out, objs[-1]
 
@@ -236,7 +259,7 @@ def make_chunked_cw(logits_fn: LogitsFn, cfg: CWConfig = CWConfig(),
                     "run_chunk": run_chunk}
             by_ndim[x.ndim] = jits
 
-        y_onehot = _onehot_labels(logits_fn, x, labels)
+        y_onehot = _onehot_labels(logits_fn, x, labels, key, keyed_logits)
         w0 = _to_tanh_space(x, cfg)
         carry = jits["bs_init"](x)
         for b in range(cfg.binary_search_steps):
@@ -247,7 +270,8 @@ def make_chunked_cw(logits_fn: LogitsFn, cfg: CWConfig = CWConfig(),
             next_check = check_every
             while done < cfg.max_iterations:
                 n = min(chunk, cfg.max_iterations - done)
-                inner, obj = jits["run_chunk"](inner, c, x, w0, y_onehot, n)
+                inner, obj = jits["run_chunk"](inner, c, x, w0, y_onehot,
+                                               key, n)
                 # honest barrier for this tunnel (see CLAUDE.md): fetch
                 # scalars so at most one chunk is ever in flight
                 n_found = int(jnp.sum(inner[4]))
@@ -280,10 +304,12 @@ def carlini_wagner_l2_chunked(logits_fn: LogitsFn, x: jnp.ndarray,
                               targeted: bool = False,
                               chunk_iters: int = 100,
                               abort_early: bool = False,
-                              verbose: bool = False) -> jnp.ndarray:
+                              verbose: bool = False,
+                              key: jnp.ndarray = None) -> jnp.ndarray:
     """One-shot convenience wrapper over `make_chunked_cw` (compiles per
     call — prefer the factory when attacking multiple batches)."""
     return make_chunked_cw(logits_fn, cfg, targeted=targeted,
                            chunk_iters=chunk_iters,
                            abort_early=abort_early,
-                           verbose=verbose)(x, labels)
+                           verbose=verbose,
+                           keyed_logits=key is not None)(x, labels, key)

@@ -123,6 +123,18 @@ def main(argv=None):
                     "reconstruction (paper's strongest white-box); no: "
                     "attack crafted on the bare classifier, defense applied "
                     "only at eval (attacker unaware of the defense)")
+    ap.add_argument("--eval_z0", default="fresh",
+                    choices=["fresh", "both"],
+                    help="restart-init seeding for the DEFENDED eval. "
+                    "fresh (default, the paper's deployment setting): "
+                    "every eval batch draws new restart z0 — the defense "
+                    "is stochastic w.r.t. the attacker. both: ALSO report "
+                    "defended accuracy with the eval reusing the attack "
+                    "graph's exact per-batch z0 (defended_acc_attack_z0 in "
+                    "the record) — the difference isolates how much of the "
+                    "defended accuracy is restart stochasticity vs real "
+                    "attack resistance (needs --attack_through_defense "
+                    "yes)")
     ap.add_argument("--results_dir", default="output/results")
     ap.add_argument("--save_images", action="store_true",
                     help="dump original|adversarial|purified grids into "
@@ -174,18 +186,22 @@ def main(argv=None):
 
     # --- attack target: classifier, or classifier o reconstruct (unrolled)
     attack_rec_iters = args.attack_rec_iters or cfg.rec_iters
-    if (args.defense_type == "defense_gan" and args.attack_type != "none"
-            and args.attack_through_defense == "yes"):
+    through_defense = (args.defense_type == "defense_gan"
+                       and args.attack_type != "none"
+                       and args.attack_through_defense == "yes")
+    if through_defense:
         # the attack differentiates through the unrolled projection
-        # (back_prop=True), composed inside the attack's own jit
-        def attack_target(x):
+        # (back_prop=True), composed inside the attack's own jit. The
+        # restart inits are seeded PER ATTACK BATCH (key argument; round-2
+        # review: a fixed constant seeded every batch identically), so
+        # --eval_z0 attack can reproduce them exactly at eval time.
+        def attack_target(x, key):
             def gen_apply(z):
                 return gan.generator.apply(
                     {"params": gan.state.gen_params,
                      "batch_stats": gan.state.gen_stats}, z, train=False)
             from defensegan_tpu.defense import reconstruct, sample_z0
-            z0 = sample_z0(jax.random.fold_in(k_att, 2), x.shape[0],
-                           cfg.rec_rr, cfg.latent_dim)
+            z0 = sample_z0(key, x.shape[0], cfg.rec_rr, cfg.latent_dim)
             res = reconstruct(gen_apply, x, z0, rec_iters=attack_rec_iters,
                               rec_lr=cfg.rec_lr, momentum=cfg.rec_momentum,
                               back_prop=True)
@@ -201,17 +217,21 @@ def main(argv=None):
         if args.attack_type == "fgsm":
             @jax.jit
             def craft(xb, yb, k):
-                return fgsm(attack_target, xb, yb, args.fgsm_eps)
+                tgt = ((lambda x: attack_target(x, k)) if through_defense
+                       else attack_target)
+                return fgsm(tgt, xb, yb, args.fgsm_eps)
         elif args.attack_type == "rand_fgsm":
             @jax.jit
             def craft(xb, yb, k):
-                return rand_fgsm(attack_target, xb, yb, args.fgsm_eps,
-                                 args.alpha, k)
+                kz, kn = jax.random.split(k)
+                tgt = ((lambda x: attack_target(x, kz)) if through_defense
+                       else attack_target)
+                return rand_fgsm(tgt, xb, yb, args.fgsm_eps,
+                                 args.alpha, kn)
         else:  # cw
             cw_cfg = CWConfig(
                 binary_search_steps=args.cw_binary_search_steps,
                 max_iterations=args.cw_max_iterations)
-            through_defense = attack_target is not logits_fn
             chunk = args.cw_chunk_iters
             if chunk == 0:
                 chunk = 100 if (through_defense or args.cw_abort_early) \
@@ -224,14 +244,17 @@ def main(argv=None):
                 chunked = make_chunked_cw(
                     attack_target, cw_cfg, chunk_iters=chunk,
                     abort_early=args.cw_abort_early,
-                    verbose=through_defense)
+                    verbose=through_defense,
+                    keyed_logits=through_defense)
 
                 def craft(xb, yb, k):
-                    return chunked(xb, yb)
+                    return chunked(xb, yb, k if through_defense else None)
             else:
                 @jax.jit
                 def craft(xb, yb, k):
-                    return carlini_wagner_l2(attack_target, xb, yb, cw_cfg)
+                    return carlini_wagner_l2(
+                        attack_target, xb, yb, cw_cfg,
+                        key=k if through_defense else None)
 
         advs = []
         bs = args.attack_batch
@@ -271,6 +294,7 @@ def main(argv=None):
         print(f"wrote {path} (rows: original | adversarial | purified)")
 
     defended_acc = None
+    defended_acc_attack_z0 = None
     if args.defense_type == "defense_gan":
         t0 = time.time()
         with timer.phase("purify_classify_adv"):
@@ -279,6 +303,28 @@ def main(argv=None):
         print(f"adversarial accuracy, Defense-GAN (R={cfg.rec_rr}, "
               f"L={cfg.rec_iters}): {defended_acc:.4f} "
               f"[{time.time() - t0:.1f}s]")
+        if (args.eval_z0 == "both" and through_defense
+                and args.attack_type != "none"):
+            # reuse the attack graph's exact per-batch z0: same batch
+            # partitioning, same per-batch keys (rand_fgsm split its key
+            # into (z0, noise) — mirror that here), and L = the attack
+            # graph's rec_iters. Fresh-vs-attack gap = restart
+            # stochasticity's contribution to the defended accuracy.
+            if args.attack_type == "rand_fgsm":
+                def key_fn(lo):
+                    return jax.random.split(
+                        jax.random.fold_in(k_att, lo))[0]
+            else:
+                def key_fn(lo):
+                    return jax.random.fold_in(k_att, lo)
+            with timer.phase("purify_classify_adv_attack_z0"):
+                defended_acc_attack_z0 = model_eval_gan(
+                    gan, logits_fn, x_adv, y_test,
+                    batch_size=args.attack_batch,
+                    rec_iters=attack_rec_iters, key_fn=key_fn)
+            print(f"adversarial accuracy, Defense-GAN with the ATTACK's "
+                  f"z0 (L={attack_rec_iters}): "
+                  f"{defended_acc_attack_z0:.4f}")
     elif args.defense_type == "adv_tr":
         defended_acc = adv_acc  # the defense is in the classifier weights
 
@@ -298,10 +344,14 @@ def main(argv=None):
         "cw_abort_early": (args.cw_abort_early
                            if args.attack_type == "cw" else None),
         "attack_through_defense": args.attack_through_defense,
+        "attack_z0": ("per_batch" if through_defense else None),
+        "eval_z0": args.eval_z0,
         "train_on_recs": args.train_on_recs,
         "clean_acc": clean_acc, "clean_defended_acc": clean_defended_acc,
         "adv_acc_no_defense": adv_acc,
-        "defended_acc": defended_acc, "attack_time_s": round(attack_time, 2),
+        "defended_acc": defended_acc,
+        "defended_acc_attack_z0": defended_acc_attack_z0,
+        "attack_time_s": round(attack_time, 2),
         "phases": timer.summary(),
     }
     print(f"phase breakdown: {timer}")

@@ -8,6 +8,7 @@ kabkabm/defensegan.
 from defensegan_tpu.eval.classifier import (ClassifierState, make_logits_fn,
                                             train_classifier)
 from defensegan_tpu.eval.accuracy import model_eval, model_eval_gan
+from defensegan_tpu.eval.quality import BF16_TIE_TAU, tie_aware_disagreement
 
 __all__ = [
     "ClassifierState",
@@ -15,4 +16,6 @@ __all__ = [
     "train_classifier",
     "model_eval",
     "model_eval_gan",
+    "tie_aware_disagreement",
+    "BF16_TIE_TAU",
 ]

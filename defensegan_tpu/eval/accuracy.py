@@ -42,7 +42,10 @@ def model_eval_gan(gan, logits_fn: LogitsFn, x: np.ndarray, y: np.ndarray,
                    key: Optional[jax.Array] = None,
                    batch_size: Optional[int] = None,
                    rec_rr: Optional[int] = None,
-                   rec_iters: Optional[int] = None) -> float:
+                   rec_iters: Optional[int] = None,
+                   rec_lr: Optional[float] = None,
+                   key_fn: Optional[Callable[[int], jax.Array]] = None
+                   ) -> float:
     """Defended accuracy: purify each batch via gan.reconstruct, classify.
 
     Reference: utils/gan_defense.py::model_eval_gan. The last partial batch
@@ -53,6 +56,17 @@ def model_eval_gan(gan, logits_fn: LogitsFn, x: np.ndarray, y: np.ndarray,
     batches keep the projection's batch x restarts axis wide enough for
     full MXU tiles / the fused Pallas kernels' grids, and fewer dispatches
     matter on transports with per-call overhead.
+
+    rec_rr/rec_iters/rec_lr override the cfg defaults — the full override
+    set of DefenseGAN.reconstruct, so e.g. a rec_lr sweep can run through
+    this eval path.
+
+    key_fn: when given, the restart-init key for the batch starting at
+    index lo is key_fn(lo) instead of a fresh split of `key` — with
+    batch_size equal to the attack batch and key_fn reproducing the
+    attack's per-batch keys, the eval reuses the attack graph's z0
+    EXACTLY, separating restart stochasticity from attack resistance
+    (whitebox --eval_z0 attack; VERDICT round-2 item 3).
     """
     key = key if key is not None else jax.random.key(0)
     if batch_size is None:
@@ -75,9 +89,12 @@ def model_eval_gan(gan, logits_fn: LogitsFn, x: np.ndarray, y: np.ndarray,
                                               xb.dtype)])
             yb = np.concatenate([yb, np.zeros(pad, yb.dtype)])
             valid[-pad:] = False
-        key, k = jax.random.split(key)
+        if key_fn is not None:
+            k = key_fn(lo)
+        else:
+            key, k = jax.random.split(key)
         res = gan.reconstruct(jnp.asarray(xb), k, rec_rr=rec_rr,
-                              rec_iters=rec_iters)
+                              rec_iters=rec_iters, rec_lr=rec_lr)
         total += int(correct_count(res.x_hat, jnp.asarray(yb),
                                    jnp.asarray(valid)))
     return total / n

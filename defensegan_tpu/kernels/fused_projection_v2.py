@@ -226,5 +226,14 @@ def make_pallas_dense_reconstructor(gan, *, rec_rr: int, rec_iters: int,
 
 
 def dense_kernel_available(gan) -> bool:
-    """v2 kernel covers single-deconv (wide) generators only."""
-    return len(gan.generator.channels) == 1
+    """v2 kernel covers single-deconv (wide) generators only, and only up
+    to the dense-packing feature bound: pack_generator(variant='dense')
+    raises above feat = base_hw^2 * channels[0] > 16384 (the identity
+    probe materializes a [feat, 4*feat] matrix — fastgen.py), so oversized
+    wide topologies must degrade to the packed/XLA path instead of
+    crashing inside make_pallas_dense_*_reconstructor."""
+    gen = gan.generator
+    if len(gen.channels) != 1:
+        return False
+    feat = gen.base_hw * gen.base_hw * gen.channels[0]
+    return feat <= 16384

@@ -369,5 +369,10 @@ def make_pallas_s2d_reconstructor(gan, *, rec_rr: int, rec_iters: int,
 
 
 def s2d_kernel_available(gan) -> bool:
-    """v3 kernel covers two-deconv deep generators (e.g. MNIST 7->14->28)."""
-    return len(gan.generator.channels) == 2
+    """v3 kernel covers two-deconv deep generators (e.g. MNIST 7->14->28)
+    up to channels[0] <= 256 (dim <= 128): the space-to-depth tap weights
+    and the [tile, 49*C] row blocks must stay VMEM-resident across all L
+    steps; the kernel is validated at the reference's dim=64 and the
+    VMEM budget has ~2x headroom, not unbounded."""
+    gen = gan.generator
+    return len(gen.channels) == 2 and gen.channels[0] <= 256

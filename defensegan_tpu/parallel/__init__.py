@@ -13,6 +13,8 @@ from defensegan_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
     shard_batch,
+    validate_batch_for_mesh,
+    validate_projection_sharding,
 )
 from defensegan_tpu.parallel.distributed import (
     global_batch_sharding,
@@ -21,5 +23,6 @@ from defensegan_tpu.parallel.distributed import (
 )
 
 __all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
-           "shard_batch", "initialize_distributed",
+           "shard_batch", "validate_batch_for_mesh",
+           "validate_projection_sharding", "initialize_distributed",
            "make_shard_map_train_step", "global_batch_sharding"]

@@ -43,7 +43,36 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def validate_batch_for_mesh(mesh: Mesh, batch: int,
+                            what: str = "batch") -> None:
+    """Fail informatively (instead of an opaque XLA/GSPMD error or a
+    silently skewed layout) when a leading axis can't shard evenly."""
+    n = mesh.devices.size
+    if batch % n != 0:
+        raise ValueError(
+            f"{what}={batch} is not divisible by the {n}-device "
+            f"'{DATA_AXIS}' mesh (remainder {batch % n}); pad the batch "
+            f"(eval/accuracy.py pads+masks this way) or choose a multiple "
+            f"of {n}")
+
+
+def validate_projection_sharding(mesh: Mesh, batch: int,
+                                 rec_rr: int) -> None:
+    """Projection sharding contract: shard the IMAGE batch axis, never the
+    flattened batch*R axis. Each device must own whole restart groups —
+    otherwise the per-image argmin over R at the end of the projection
+    gathers restarts across devices (correct under GSPMD but
+    collective-heavy, and wrong under shard_map). batch % n_devices == 0
+    guarantees group-aligned shards for any R."""
+    validate_batch_for_mesh(mesh, batch, what="projection batch")
+    # R itself never needs to divide anything: restarts ride along inside
+    # each image's shard ([B, R, k] sharded on axis 0).
+
+
 def shard_batch(mesh: Mesh, batch):
     """Place a pytree of arrays with leading batch axis onto the mesh."""
+    leaves = jax.tree.leaves(batch)
+    for a in leaves:
+        validate_batch_for_mesh(mesh, a.shape[0])
     return jax.tree.map(
         lambda a: jax.device_put(a, batch_sharding(mesh, a.ndim)), batch)

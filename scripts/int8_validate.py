@@ -72,14 +72,27 @@ def main():
     got8 = run_int8(x, key)
     got16 = run_bf16(x, key)
 
+    from defensegan_tpu.eval import tie_aware_disagreement
+
     ref_l = np.asarray(ref.all_losses)
     l8 = np.asarray(got8.all_losses)
     l16 = np.asarray(got16.all_losses)
     agree8 = float((ref_l.argmin(1) == l8.argmin(1)).mean())
     agree16 = float((ref_l.argmin(1) == l16.argmin(1)).mean())
+    # tie-aware metric (VERDICT round-2 item 6): raw argmin disagreement
+    # counts harmless ties between equal-loss restarts; material
+    # disagreement charges only picks that are worse under the reference
+    # losses by more than bf16 noise
+    tie8 = tie_aware_disagreement(ref_l, l8)
+    tie16 = tie_aware_disagreement(ref_l, l16)
     print(json.dumps({
         "argmin_agreement_int8_vs_xla": agree8,
         "argmin_agreement_bf16_vs_xla": agree16,
+        "material_disagreement_int8_vs_xla": tie8["material_disagreement"],
+        "material_disagreement_bf16_vs_xla": tie16["material_disagreement"],
+        "mean_regret_int8": tie8["mean_regret"],
+        "mean_regret_bf16": tie16["mean_regret"],
+        "tie_tau": tie8["tau"],
         "best_loss_mean_xla": float(np.asarray(ref.loss).mean()),
         "best_loss_mean_int8": float(np.asarray(got8.loss).mean()),
         "best_loss_mean_bf16": float(np.asarray(got16.loss).mean()),
