@@ -59,7 +59,12 @@ def resolve_projection_kernel(gan, *, n: int, back_prop: bool = False,
         requested = cfg.projection_kernel
     if on_tpu is None:
         on_tpu = jax.default_backend() in ("tpu", "axon")
-    xla_best = "packed" if cfg.gen_arch == "wide" else "xla"
+    # per-topology best XLA path (RESULTS.md): the BN-folded packed
+    # generator wins only for the single-deconv wide arch (MNIST family);
+    # multi-deconv stacks (deep, and wide 64x64) are conv-FLOP-dominated
+    # where XLA's native conv scheduling wins (celeba 423 xla vs 415
+    # packed; imagenet64 202 vs 156)
+    xla_best = "packed" if len(gan.generator.channels) == 1 else "xla"
     kernel = requested
     if kernel == "auto":
         # measured on the v5e (RESULTS.md round 2): the fused bf16 Pallas

@@ -62,6 +62,10 @@ def run_level(margin, args):
                  disc_dim=64, batch_size=64, disc_iters=5,
                  rec_iters=200, rec_rr=10, rec_lr=10.0, rec_unroll=50,
                  compute_dtype="bfloat16",
+                 # XLA path: per-level weights would each pay an uncached
+                 # Mosaic compile for the Pallas kernels; XLA wide (2570
+                 # recon/s) is plenty and hits the persistent cache
+                 projection_kernel="xla",
                  train_iters=args.train_iters,
                  sample_every=10**9, save_every=args.train_iters,
                  output_dir=os.path.join("output", "gans",
