@@ -60,7 +60,8 @@ def run_level(margin, args):
 
     cfg = Config(type="mnist", gen_arch="wide", gen_dim=16, latent_dim=128,
                  disc_dim=64, batch_size=64, disc_iters=5,
-                 rec_iters=200, rec_rr=10, rec_lr=10.0, rec_unroll=50,
+                 rec_iters=args.rec_iters, rec_rr=args.rec_rr,
+                 rec_lr=10.0, rec_unroll=50,
                  compute_dtype="bfloat16",
                  # XLA path: per-level weights would each pay an uncached
                  # Mosaic compile for the Pallas kernels; XLA wide (2570
@@ -132,6 +133,8 @@ def main():
     ap.add_argument("--train_iters", type=int, default=10000)
     ap.add_argument("--classifier_epochs", type=int, default=10)
     ap.add_argument("--fgsm_eps", type=float, default=0.3)
+    ap.add_argument("--rec_iters", type=int, default=200)
+    ap.add_argument("--rec_rr", type=int, default=10)
     ap.add_argument("--attack_rec_iters", type=int, default=200)
     ap.add_argument("--attack_batch", type=int, default=64)
     ap.add_argument("--retrain", action="store_true")
