@@ -40,13 +40,26 @@ def min_pairwise_l2(protos: np.ndarray) -> float:
 
 def _build_protos(rng: np.random.RandomState, image_size: int,
                   channels: int, num_classes: int,
-                  margin: Optional[float] = None) -> np.ndarray:
+                  margin: Optional[float] = None,
+                  style: str = "smooth") -> np.ndarray:
     protos = []
     for _ in range(num_classes):
         p = rng.rand(image_size, image_size, channels).astype(np.float32)
         p = _smooth(p, iters=3)
         # stretch contrast so prototypes are well separated
         p = (p - p.min()) / max(p.max() - p.min(), 1e-6)
+        if style == "sparse":
+            # MNIST-like support statistics: mostly-zero background with
+            # bright strokes (~20% active pixels). Background zeros matter
+            # for adversarial robustness: the [0,1] clip discards the
+            # negative half of an L-inf perturbation there, and the image
+            # manifold is locally orthogonal to background directions.
+            thresh = np.quantile(p, 0.8)
+            p = np.where(p > thresh, (p - thresh) / max(1 - thresh, 1e-6),
+                         0.0).astype(np.float32)
+            p = np.clip(p * 2.5, 0.0, 1.0)  # bright strokes like MNIST
+        elif style != "smooth":
+            raise ValueError(f"unknown style {style!r}")
         protos.append(p)
     protos = np.stack(protos)  # [K, H, W, C]
     if margin is not None:
@@ -67,20 +80,23 @@ def _build_protos(rng: np.random.RandomState, image_size: int,
 
 
 def synthetic_protos(image_size: int, channels: int, num_classes: int = 10,
-                     seed: int = 0,
-                     margin: Optional[float] = None) -> np.ndarray:
+                     seed: int = 0, margin: Optional[float] = None,
+                     style: str = "smooth") -> np.ndarray:
     """The class prototypes make_synthetic draws from (for margin probes)."""
     rng = np.random.RandomState(seed * 7919 + 17)
-    return _build_protos(rng, image_size, channels, num_classes, margin)
+    return _build_protos(rng, image_size, channels, num_classes, margin,
+                         style)
 
 
 def make_synthetic(num: int, image_size: int, channels: int,
                    num_classes: int = 10, seed: int = 0,
-                   split: str = "train", margin: Optional[float] = None):
+                   split: str = "train", margin: Optional[float] = None,
+                   style: str = "smooth"):
     """Return (images [N,H,W,C] float32 in [0,1], labels [N] int32)."""
     split_salt = {"train": 0, "dev": 1, "val": 1, "test": 2}.get(split, 3)
     rng = np.random.RandomState(seed * 7919 + 17)
-    protos = _build_protos(rng, image_size, channels, num_classes, margin)
+    protos = _build_protos(rng, image_size, channels, num_classes, margin,
+                           style)
 
     srng = np.random.RandomState(seed * 104729 + split_salt * 7907 + 23)
     labels = srng.randint(0, num_classes, size=num).astype(np.int32)

@@ -52,11 +52,14 @@ from defensegan_tpu.attacks import fgsm  # noqa: E402
 def run_level(margin, args):
     """Train GAN + classifier on margin-controlled data; attack; eval."""
     achieved = min_pairwise_l2(synthetic_protos(28, 1, seed=0,
-                                                margin=margin))
+                                                margin=margin,
+                                                style=args.style))
     x_train, y_train = make_synthetic(args.num_train, 28, 1, seed=0,
-                                      split="train", margin=margin)
+                                      split="train", margin=margin,
+                                      style=args.style)
     x_test, y_test = make_synthetic(args.num_tests, 28, 1, seed=0,
-                                    split="test", margin=margin)
+                                    split="test", margin=margin,
+                                    style=args.style)
 
     cfg = Config(type="mnist", gen_arch="wide", gen_dim=16, latent_dim=128,
                  disc_dim=64, batch_size=64, disc_iters=5,
@@ -70,7 +73,9 @@ def run_level(margin, args):
                  train_iters=args.train_iters,
                  sample_every=10**9, save_every=args.train_iters,
                  output_dir=os.path.join("output", "gans",
-                                         f"margin_{margin:g}"))
+                                         f"margin_{margin:g}"
+                                         if args.style == "smooth" else
+                                         f"margin_{args.style}_{margin:g}"))
     gan = DefenseGAN(cfg)
     if gan.can_load() and not args.retrain:
         gan.load()
@@ -118,6 +123,7 @@ def run_level(margin, args):
     adv = model_eval(logits_fn, x_adv, y_test)
     defended = model_eval_gan(gan, logits_fn, x_adv, y_test, key=k_eval)
     return {
+        "style": args.style,
         "margin_requested": margin, "margin_achieved": round(achieved, 3),
         "clean_acc": clean, "clean_defended_acc": clean_def,
         "adv_acc_no_defense": adv, "defended_acc": defended,
@@ -133,6 +139,13 @@ def main():
     ap.add_argument("--train_iters", type=int, default=10000)
     ap.add_argument("--classifier_epochs", type=int, default=10)
     ap.add_argument("--fgsm_eps", type=float, default=0.3)
+    ap.add_argument("--style", default="smooth",
+                    choices=["smooth", "sparse"],
+                    help="prototype style: smooth (dense low-frequency, "
+                    "the original synthetic family) or sparse (MNIST-like "
+                    "mostly-zero background with bright strokes — "
+                    "separates the margin effect from the sparsity/"
+                    "clipping effect)")
     ap.add_argument("--rec_iters", type=int, default=200)
     ap.add_argument("--rec_rr", type=int, default=10)
     ap.add_argument("--attack_rec_iters", type=int, default=200)
@@ -148,6 +161,14 @@ def main():
                 "train_iters": args.train_iters,
                 "fgsm_eps": args.fgsm_eps,
                 "attack_rec_iters": args.attack_rec_iters}
+    # rec overrides enter the resume key only when non-default, so rows
+    # measured at the paper protocol stay resumable across script versions
+    if args.rec_iters != 200:
+        settings["rec_iters"] = args.rec_iters
+    if args.rec_rr != 10:
+        settings["rec_rr"] = args.rec_rr
+    if args.style != "smooth":
+        settings["style"] = args.style
     done = {}
     if not args.fresh and os.path.exists(rows_path):
         with open(rows_path) as f:
@@ -171,8 +192,10 @@ def main():
         print(json.dumps(row), flush=True)
         rows.append(row)
 
-    # markdown summary
-    lines = ["# FGSM-defended accuracy vs inter-class margin",
+    # markdown summary (per style — a sparse run must not clobber the
+    # smooth report)
+    lines = [f"# FGSM-defended accuracy vs inter-class margin "
+             f"({args.style} prototypes)",
              f"eps={args.fgsm_eps} L-inf (L2 radius "
              f"{args.fgsm_eps * 28:.1f} in 784-d), attack through the "
              f"unrolled L={args.attack_rec_iters} defense, wide/dim16 GAN "
@@ -187,8 +210,9 @@ def main():
             f"| {r['adv_acc_no_defense']:.3f} "
             f"| **{r['defended_acc']:.3f}** |")
     report = "\n".join(lines)
-    with open(os.path.join(args.results_dir, "margin_experiment.md"),
-              "w") as f:
+    name = ("margin_experiment.md" if args.style == "smooth"
+            else f"margin_experiment_{args.style}.md")
+    with open(os.path.join(args.results_dir, name), "w") as f:
         f.write(report + "\n")
     print("\n" + report)
 
