@@ -40,7 +40,7 @@ PEAK_HBM_BPS = 819e9
 CFG_DIR = os.path.join("defensegan_tpu", "configs", "gans")
 
 
-def analyze(cfg_path, batch, rec_rr, steps, repeats=3):
+def analyze(cfg_path, batch, rec_rr, steps, repeats=3, trace_dir=None):
     cfg = load_config(cfg_path)
     gan = DefenseGAN(cfg)
     if gan.can_load():
@@ -103,6 +103,11 @@ def analyze(cfg_path, batch, rec_rr, steps, repeats=3):
         float(jnp.sum(run(z0)))
         times.append(time.perf_counter() - t0)
     dt = min(times) / steps  # seconds per projection step (all N latents)
+    if trace_dir:
+        from defensegan_tpu.utils.profiling import trace
+        with trace(trace_dir):
+            float(jnp.sum(run(z0)))
+        print(f"trace written under {trace_dir}", flush=True)
 
     # forward alone, timed the same way
     def fwd_scan(z0):
@@ -149,12 +154,18 @@ def main():
                     help="projection steps per timed program (keep the "
                     "program under ~60 s of device time — TPU watchdog)")
     ap.add_argument("--out", default="output/results/profile64.json")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of one timed scan "
+                    "per config into DIR/<config>")
     args = ap.parse_args()
 
     rows = []
     for c in args.configs:
         path = c if os.path.exists(c) else os.path.join(CFG_DIR, c)
-        rows.append(analyze(path, args.batch, args.rec_rr, args.steps))
+        tdir = (os.path.join(args.trace, os.path.basename(path)
+                             .replace(".yml", "")) if args.trace else None)
+        rows.append(analyze(path, args.batch, args.rec_rr, args.steps,
+                            trace_dir=tdir))
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(rows, f, indent=1)

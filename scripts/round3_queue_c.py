@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Round-3 chip queue C: deep-kernel ILP A/B + 64x64 op-level trace.
+
+  ilp       two-subtile ILP variant of the v3 deep kernel vs v3
+            (scripts/pallas_v3_ilp_exp.py) — the last untried lever of
+            TODO #3 after int8 / tap-packing / mask-elision all measured
+            slower.
+  trace64   jax.profiler trace of the celeba 64x64 XLA projection step —
+            sweep64 eliminated conv-algorithm choice as the cause of the
+            38%-of-peak gap; the trace names the actual hot ops.
+
+Same discipline as round3_queue.py. Run: python scripts/round3_queue_c.py
+"""
+
+import os
+import runpy
+import sys
+import time
+import traceback
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from defensegan_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+enable_compilation_cache()
+
+QDIR = os.path.join("output", "round3_queue")
+
+
+def run_script(path, argv):
+    sys.argv = [os.path.basename(path)] + argv
+    try:
+        runpy.run_path(os.path.join(ROOT, path), run_name="__main__")
+    except SystemExit as e:
+        if e.code not in (0, None):
+            raise
+
+
+def step_ilp():
+    run_script("scripts/pallas_v3_ilp_exp.py", ["4096"])
+
+
+def step_trace64():
+    run_script("scripts/profile64.py",
+               ["--configs", "celeba.yml", "--trace", "output/traces/p64",
+                "--out", "output/results/profile64_celeba.json"])
+
+
+STEPS = [("ilp", step_ilp), ("trace64", step_trace64)]
+
+
+def main():
+    os.makedirs(QDIR, exist_ok=True)
+    only = set(sys.argv[1:])
+    failures = []
+    for name, fn in STEPS:
+        if only and name not in only:
+            continue
+        marker = os.path.join(QDIR, f"{name}.done")
+        if os.path.exists(marker) and not only:
+            print(f"== [{name}] already done, skipping", flush=True)
+            continue
+        print(f"\n== [{name}] start {time.strftime('%H:%M:%S')}",
+              flush=True)
+        t0 = time.time()
+        try:
+            fn()
+        except KeyboardInterrupt:
+            raise
+        except BaseException:
+            traceback.print_exc()
+            failures.append(name)
+            print(f"== [{name}] FAILED after {time.time()-t0:.0f}s — "
+                  "continuing", flush=True)
+            continue
+        with open(marker, "w") as f:
+            f.write(f"{time.time()-t0:.0f}s\n")
+        print(f"== [{name}] done in {time.time()-t0:.0f}s", flush=True)
+    print(f"\nqueue C complete; failures: {failures or 'none'}", flush=True)
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
