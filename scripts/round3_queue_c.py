@@ -46,7 +46,46 @@ def step_trace64():
                 "--out", "output/results/profile64_celeba.json"])
 
 
-STEPS = [("ilp", step_ilp), ("trace64", step_trace64)]
+def step_occupancy64():
+    # does the 64x64 projection leave throughput on the table at small
+    # batch? (prof64 ran N=256 latents; the MXU could be under-occupied)
+    import json
+    import time as _t
+
+    import jax
+    import jax.numpy as jnp
+    from defensegan_tpu.configs import load_config
+    from defensegan_tpu.gan import DefenseGAN
+
+    for name in ("celeba", "celeba_wide"):
+        cfg = load_config(os.path.join("output", "gans", name))
+        cfg.projection_kernel = "xla"
+        gan = DefenseGAN(cfg)
+        gan.load()
+        for batch in (256, 512, 1024):
+            x = jax.random.uniform(jax.random.key(0),
+                                   (batch,) + cfg.image_shape, jnp.float32)
+            k = jax.random.key(1)
+            try:
+                float(jnp.sum(gan.reconstruct(x, k).x_hat))
+                times = []
+                for i in range(2):
+                    t0 = _t.perf_counter()
+                    float(jnp.sum(gan.reconstruct(
+                        x, jax.random.fold_in(k, i)).x_hat))
+                    times.append(_t.perf_counter() - t0)
+                v = batch / min(times)
+            except Exception:
+                traceback.print_exc()
+                print(f"[occupancy64] {name} batch {batch} FAILED "
+                      "(likely HBM) — continuing", flush=True)
+                break
+            print(json.dumps({"metric": f"{name}_xla_batch{batch}",
+                              "recon_per_sec": round(v, 2)}), flush=True)
+
+
+STEPS = [("ilp", step_ilp), ("trace64", step_trace64),
+         ("occupancy64", step_occupancy64)]
 
 
 def main():
