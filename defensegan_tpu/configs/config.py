@@ -54,16 +54,20 @@ class Config:
     # --- compute ---
     compute_dtype: str = "bfloat16"  # COMPUTE_DTYPE: float32 | bfloat16
     projection_kernel: str = "auto"  # PROJECTION_KERNEL:
-    #   auto   = on TPU the fused Pallas kernels (int8 v2i wide / bf16 v3
-    #            deep, all beat XLA on the v5e — RESULTS.md round 2);
-    #            off-TPU and for back_prop graphs: packed (wide) /
-    #            xla (deep)
+    #   auto   = on TPU the bf16 fused Pallas kernels (v2 wide / v3 deep,
+    #            both beat XLA on the v5e — RESULTS.md); off-TPU and for
+    #            back_prop graphs the per-topology best XLA path
     #   xla    = flax generator in the lax.scan loop
     #   packed = BN-folded flat-space generator (defense/fastgen.py)
     #   pallas = bf16 fused on-chip RxL loop (fused_projection_v2/_v3.py)
-    #   pallas_int8 = int8-MXU fused loop for wide archs
-    #            (fused_projection_v2i.py; deep topologies use v3)
-    #   pallas* fall back to xla when the topology isn't covered
+    #   pallas_int8 = OPT-IN int8-MXU fused loop for wide archs, 1.53x
+    #            pallas (fused_projection_v2i.py; deep topologies use
+    #            v3). Opt-in because quantized defense quality is gated
+    #            per checkpoint (scripts/int8_validate.py, tie-aware
+    #            metric) rather than assumed transferable.
+    #   pallas* degrade to the per-topology best XLA path when the
+    #   topology/batch isn't covered (gan/defense_gan.py
+    #   resolve_projection_kernel — the single source of truth)
     packed_variant: str = "auto"     # PACKED_VARIANT (kernel=packed):
     #   auto = conv for wide archs, s2d for two-deconv deep archs
     #   conv | phase | dense | hybrid | s2d (defense/fastgen.py docstring)

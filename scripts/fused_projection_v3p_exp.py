@@ -1,5 +1,13 @@
-"""Pallas TPU fused projection v3p: v3 with an x-padded grid — full
-boundary-mask elision (VERDICT round-2 item 5 / TODO.md #3).
+"""EXPERIMENT (measured slower — kept as a record, not shipped):
+Pallas projection v3p — v3 with an x-padded grid for full boundary-mask
+elision (VERDICT round-2 item 5 / TODO.md #3).
+
+A/B result on the v5e (scripts/pallas_v3p_bench.py, batch 4096):
+v3p 1021 (tile 64) / 1005 (tile 128) vs v3 1129 recon/s — eliminating
+22 of 24 per-step mask multiplies does NOT pay for +14.3% matmul rows,
+the third measured negative lever on the deep kernel (RESULTS.md round
+3). Numerics validated (interpret-mode argmin agreement 1.0 vs XLA at
+test scale before the kernel was cut from defensegan_tpu/kernels/).
 
 Same space-to-depth formulation as fused_projection_v3.py (see its header
 for the layout and index conventions), with ONE structural change: the 7x7

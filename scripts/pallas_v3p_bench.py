@@ -32,7 +32,8 @@ from defensegan_tpu.configs import load_config  # noqa: E402
 from defensegan_tpu.gan import DefenseGAN  # noqa: E402
 from defensegan_tpu.kernels.fused_projection_v3 import (  # noqa: E402
     make_pallas_s2d_reconstructor)
-from defensegan_tpu.kernels.fused_projection_v3p import (  # noqa: E402
+sys.path.insert(0, os.path.join(ROOT, "scripts"))
+from fused_projection_v3p_exp import (  # noqa: E402
     make_pallas_s2d_padded_reconstructor)
 
 
