@@ -113,6 +113,10 @@ class Dataset:
         n = _SPLIT_SIZES[split]
         if split == "train" and self.image_size >= 64:
             n //= 2
+        # NOTE: same-shape datasets share the fallback distribution (the
+        # seed is not name-salted), so e.g. mnist and f-mnist qualitative
+        # cells that involve no GAN come out literally equal. Deliberate:
+        # salting would orphan every checkpoint trained on the fallback.
         return make_synthetic(n, self.image_size,
                               self.channels, self.num_classes,
                               seed=self.seed, split=split)
