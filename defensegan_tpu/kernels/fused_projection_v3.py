@@ -31,6 +31,13 @@ Per-step MXU work (T=128): fc 49+49 passes, conv A 882+882, conv B 196+196
 => ~74 MF-equiv per latent-step; at the v2 kernel's measured ~90% MXU
 efficiency that is ~1200 recon/s on one v5e chip.
 
+Measured optimum (rounds 2-3, RESULTS.md): the shipped form's ~1130
+recon/s is a bound established by four independent negative experiments —
+int8 MXU matmuls 921 (VPU-bound, not MXU-bound), tap-concat packing 1043,
+x-padded mask elision (v3p) 1021, and two-subtile ILP 1122 (tie; Mosaic
+already extracts the tap-level overlap). Each lever was built, validated,
+measured, and cut; the losing variants live under scripts/ as records.
+
 Index conventions (g = 7, T = tile):
   row r = pixel * T + t encodes (pixel=(y, x), latent t).
   tap k = (dy+1)*3 + (dx+1), offset off_k = (dy*g + dx) * T.
