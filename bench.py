@@ -61,16 +61,20 @@ def measure(cfg_path, batch, rec_rr, rec_iters, repeats, kernel,
         gan.load()  # use trained weights when available; random init is
         # throughput-equivalent (same FLOPs) otherwise
 
+    explicit = kernel != "auto"
     if kernel == "auto" and jax.default_backend() in ("tpu", "axon"):
         # bench-specific default: int8 v2i for the wide flagship (quality
         # gate ran on this checkpoint), bf16 v3 for deep (int8 v3 measured
         # slower — RESULTS.md)
         kernel = "pallas_int8" if cfg.gen_arch == "wide" else "pallas"
+        explicit = True
     # single source of truth with DefenseGAN.reconstruct — report what
-    # ACTUALLY runs rather than mislabeling a silently-degraded path
+    # ACTUALLY runs rather than mislabeling a silently-degraded path.
+    # (auto resolving to an XLA path off-TPU is designed behavior, not a
+    # degradation — only warn when a concrete request can't run.)
     resolved = resolve_projection_kernel(gan, n=batch * cfg.rec_rr,
                                          requested=kernel)
-    if resolved != kernel:
+    if explicit and resolved != kernel:
         print(f"note: kernel={kernel} not runnable for this "
               f"topology/batch; measuring {resolved}", file=sys.stderr)
     cfg.projection_kernel = resolved  # dataclass field, reconstruct reads it

@@ -194,7 +194,7 @@ def main(argv=None):
         # (back_prop=True), composed inside the attack's own jit. The
         # restart inits are seeded PER ATTACK BATCH (key argument; round-2
         # review: a fixed constant seeded every batch identically), so
-        # --eval_z0 attack can reproduce them exactly at eval time.
+        # --eval_z0 both can reproduce them exactly at eval time.
         def attack_target(x, key):
             def gen_apply(z):
                 return gan.generator.apply(

@@ -70,9 +70,14 @@ def validate_projection_sharding(mesh: Mesh, batch: int,
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a pytree of arrays with leading batch axis onto the mesh."""
-    leaves = jax.tree.leaves(batch)
-    for a in leaves:
-        validate_batch_for_mesh(mesh, a.shape[0])
+    """Place a pytree of arrays with leading batch axis onto the mesh.
+
+    Scalar (0-d) leaves are replicated, not sharded — they have no batch
+    axis to validate."""
+    for a in jax.tree.leaves(batch):
+        if np.ndim(a) > 0:
+            validate_batch_for_mesh(mesh, np.shape(a)[0])
     return jax.tree.map(
-        lambda a: jax.device_put(a, batch_sharding(mesh, a.ndim)), batch)
+        lambda a: jax.device_put(
+            a, batch_sharding(mesh, np.ndim(a)) if np.ndim(a) > 0
+            else replicated_sharding(mesh)), batch)

@@ -109,15 +109,20 @@ def analyze(cfg_path, batch, rec_rr, steps, repeats=3, trace_dir=None):
             float(jnp.sum(run(z0)))
         print(f"trace written under {trace_dir}", flush=True)
 
-    # forward alone, timed the same way
+    # forward alone, timed the same way. The carry must DEPEND on each
+    # iteration's generator output or XLA legally hoists the
+    # loop-invariant forward out of the loop (and 0.0*x folds away): feed
+    # an epsilon-scaled reduction back into z — numerically negligible,
+    # but a real data dependence the compiler cannot elide.
     def fwd_scan(z0):
-        def body(c, _):
-            return c + 0.0 * jnp.sum(gen_apply(z0)), None
-        out, _ = jax.lax.scan(body, 0.0, None, length=steps)
-        return out
+        def body(z, _):
+            g = gen_apply(z)
+            return z + 1e-30 * jnp.sum(g), None
+        out, _ = jax.lax.scan(body, z0, None, length=steps)
+        return jnp.sum(out)
 
     frun = jax.jit(fwd_scan)
-    float(frun(z0))
+    float(frun(z0))  # compile + warm
     t0 = time.perf_counter()
     float(frun(z0))
     fdt = (time.perf_counter() - t0) / steps

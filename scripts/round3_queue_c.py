@@ -12,29 +12,20 @@
 Same discipline as round3_queue.py. Run: python scripts/round3_queue_c.py
 """
 
+import json
 import os
-import runpy
 import sys
 import time
 import traceback
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+sys.path.insert(1, os.path.join(ROOT, "scripts"))
 
 from defensegan_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
-QDIR = os.path.join("output", "round3_queue")
-
-
-def run_script(path, argv):
-    sys.argv = [os.path.basename(path)] + argv
-    try:
-        runpy.run_path(os.path.join(ROOT, path), run_name="__main__")
-    except SystemExit as e:
-        if e.code not in (0, None):
-            raise
-
+from queue_lib import QDIR, run_script, run_steps  # noqa: E402,F401
 
 def step_ilp():
     run_script("scripts/pallas_v3_ilp_exp.py", ["4096"])
@@ -88,36 +79,5 @@ STEPS = [("ilp", step_ilp), ("trace64", step_trace64),
          ("occupancy64", step_occupancy64)]
 
 
-def main():
-    os.makedirs(QDIR, exist_ok=True)
-    only = set(sys.argv[1:])
-    failures = []
-    for name, fn in STEPS:
-        if only and name not in only:
-            continue
-        marker = os.path.join(QDIR, f"{name}.done")
-        if os.path.exists(marker) and not only:
-            print(f"== [{name}] already done, skipping", flush=True)
-            continue
-        print(f"\n== [{name}] start {time.strftime('%H:%M:%S')}",
-              flush=True)
-        t0 = time.time()
-        try:
-            fn()
-        except KeyboardInterrupt:
-            raise
-        except BaseException:
-            traceback.print_exc()
-            failures.append(name)
-            print(f"== [{name}] FAILED after {time.time()-t0:.0f}s — "
-                  "continuing", flush=True)
-            continue
-        with open(marker, "w") as f:
-            f.write(f"{time.time()-t0:.0f}s\n")
-        print(f"== [{name}] done in {time.time()-t0:.0f}s", flush=True)
-    print(f"\nqueue C complete; failures: {failures or 'none'}", flush=True)
-    sys.exit(1 if failures else 0)
-
-
 if __name__ == "__main__":
-    main()
+    run_steps(STEPS, sys.argv[1:], label="queue C")

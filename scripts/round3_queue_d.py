@@ -10,20 +10,20 @@ matched 20k steps: clean-defended + FGSM/CW defended, eval_z0 both.
 Same discipline as round3_queue.py. Run: python scripts/round3_queue_d.py
 """
 
+import json
 import os
-import runpy
 import sys
 import time
 import traceback
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
+sys.path.insert(1, os.path.join(ROOT, "scripts"))
 
 from defensegan_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
-QDIR = os.path.join("output", "round3_queue")
-
+from queue_lib import QDIR, run_script, run_steps  # noqa: E402,F401
 
 def step_train():
     from defensegan_tpu.cli import train
@@ -56,36 +56,5 @@ STEPS = [("fmf_train", step_train), ("fmf_fgsm", step_eval_fgsm),
          ("fmf_cw", step_eval_cw)]
 
 
-def main():
-    os.makedirs(QDIR, exist_ok=True)
-    only = set(sys.argv[1:])
-    failures = []
-    for name, fn in STEPS:
-        if only and name not in only:
-            continue
-        marker = os.path.join(QDIR, f"{name}.done")
-        if os.path.exists(marker) and not only:
-            print(f"== [{name}] already done, skipping", flush=True)
-            continue
-        print(f"\n== [{name}] start {time.strftime('%H:%M:%S')}",
-              flush=True)
-        t0 = time.time()
-        try:
-            fn()
-        except KeyboardInterrupt:
-            raise
-        except BaseException:
-            traceback.print_exc()
-            failures.append(name)
-            print(f"== [{name}] FAILED after {time.time()-t0:.0f}s — "
-                  "continuing", flush=True)
-            continue
-        with open(marker, "w") as f:
-            f.write(f"{time.time()-t0:.0f}s\n")
-        print(f"== [{name}] done in {time.time()-t0:.0f}s", flush=True)
-    print(f"\nqueue D complete; failures: {failures or 'none'}", flush=True)
-    sys.exit(1 if failures else 0)
-
-
 if __name__ == "__main__":
-    main()
+    run_steps(STEPS, sys.argv[1:], label="queue D")
