@@ -1,0 +1,61 @@
+"""Reference CLI flag-surface parity (SURVEY.md sections 1-2): every flag
+the reference's train.py / whitebox.py / blackbox.py document must parse
+here under the same name — users switching from kabkabm/defensegan keep
+their command lines. Parse-only (no execution)."""
+
+import pytest
+
+
+def _parser(module):
+    """Grab the CLI's ArgumentParser without executing main()."""
+    import argparse
+    captured = {}
+    real_parse = argparse.ArgumentParser.parse_args
+
+    def fake_parse(self, args=None, namespace=None):
+        captured["parser"] = self
+        raise SystemExit(0)  # stop main() right after parsing setup
+
+    argparse.ArgumentParser.parse_args = fake_parse
+    try:
+        with pytest.raises(SystemExit):
+            module.main([])
+    finally:
+        argparse.ArgumentParser.parse_args = real_parse
+    return captured["parser"]
+
+
+def _flags(parser):
+    out = set()
+    for a in parser._actions:
+        out.update(o for o in a.option_strings if o.startswith("--"))
+    return out
+
+
+def test_whitebox_reference_flags():
+    from defensegan_tpu.cli import whitebox
+    flags = _flags(_parser(whitebox))
+    # reference: whitebox.py of kabkabm/defensegan (~L60-350)
+    for f in ("--cfg", "--attack_type", "--defense_type", "--model",
+              "--num_tests", "--fgsm_eps", "--rec_iters", "--rec_rr",
+              "--rec_lr", "--train_on_recs", "--online_training",
+              "--results_dir"):
+        assert f in flags, f
+
+
+def test_blackbox_reference_flags():
+    from defensegan_tpu.cli import blackbox
+    flags = _flags(_parser(blackbox))
+    # reference: blackbox.py (cleverhans mnist_blackbox recipe flags)
+    for f in ("--cfg", "--bb_model", "--sub_model", "--fgsm_eps",
+              "--data_aug", "--lmbda", "--num_tests", "--defense_type",
+              "--rec_iters", "--rec_rr", "--rec_lr", "--train_on_recs"):
+        assert f in flags, f
+
+
+def test_train_reference_flags():
+    from defensegan_tpu.cli import train
+    flags = _flags(_parser(train))
+    for f in ("--cfg", "--is_train", "--rec_iters", "--rec_rr",
+              "--rec_lr", "--batch_size", "--train_iters"):
+        assert f in flags, f
