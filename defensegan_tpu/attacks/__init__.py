@@ -12,6 +12,7 @@ attack-through-the-defense of the paper.
 from defensegan_tpu.attacks.fgsm import fgsm, rand_fgsm
 from defensegan_tpu.attacks.cw import (CWConfig, carlini_wagner_l2,
                                        carlini_wagner_l2_chunked,
+                                       effective_cw_chunk,
                                        make_chunked_cw)
 from defensegan_tpu.attacks.blackbox import (jacobian_augmentation,
                                              train_substitute)
@@ -22,6 +23,7 @@ __all__ = [
     "CWConfig",
     "carlini_wagner_l2",
     "carlini_wagner_l2_chunked",
+    "effective_cw_chunk",
     "make_chunked_cw",
     "jacobian_augmentation",
     "train_substitute",

@@ -207,6 +207,17 @@ def carlini_wagner_l2(logits_fn: LogitsFn, x: jnp.ndarray,
     return adv
 
 
+def effective_cw_chunk(cfg: CWConfig, chunk_iters: int,
+                       abort_early: bool) -> int:
+    """The chunk size make_chunked_cw will actually dispatch — shared with
+    callers that log it (the whitebox CLI printed the pre-cap request and
+    under-stated device-program duration when abort_early capped it)."""
+    chunk = max(1, min(chunk_iters, cfg.max_iterations))
+    if abort_early:
+        chunk = min(chunk, max(1, cfg.max_iterations // 10))
+    return chunk
+
+
 def make_chunked_cw(logits_fn: LogitsFn, cfg: CWConfig = CWConfig(),
                     targeted: bool = False, chunk_iters: int = 100,
                     abort_early: bool = False, verbose: bool = False,
@@ -231,9 +242,7 @@ def make_chunked_cw(logits_fn: LogitsFn, cfg: CWConfig = CWConfig(),
     keyed_logits: logits_fn takes (x, key); attack() then accepts a
     per-batch key (see _cw_machinery).
     """
-    chunk = max(1, min(chunk_iters, cfg.max_iterations))
-    if abort_early:
-        chunk = min(chunk, max(1, cfg.max_iterations // 10))
+    chunk = effective_cw_chunk(cfg, chunk_iters, abort_early)
     check_every = max(chunk, cfg.max_iterations // 10 or 1)
     by_ndim = {}  # machinery is rank-dependent (sum axes, where-masks)
 

@@ -24,7 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from defensegan_tpu.attacks import (CWConfig, carlini_wagner_l2,
-                                    fgsm, make_chunked_cw, rand_fgsm)
+                                    effective_cw_chunk, fgsm,
+                                    make_chunked_cw, rand_fgsm)
 from defensegan_tpu.cli.common import (add_cfg_args, cfg_from_args, limit,
                                        load_data, load_gan)
 from defensegan_tpu.eval import model_eval, model_eval_gan, train_classifier
@@ -237,6 +238,8 @@ def main(argv=None):
                 chunk = 100 if (through_defense or args.cw_abort_early) \
                     else -1
             if chunk > 0:
+                chunk = effective_cw_chunk(cw_cfg, chunk,
+                                           args.cw_abort_early)
                 print(f"CW: host-chunked, {chunk} iterations per device call"
                       + (", abort_early" if args.cw_abort_early else ""))
                 # factory: the jitted chunk is compiled once and reused
@@ -307,9 +310,14 @@ def main(argv=None):
                 and args.attack_type != "none"):
             # reuse the attack graph's exact per-batch z0: same batch
             # partitioning, same per-batch keys (rand_fgsm split its key
-            # into (z0, noise) — mirror that here), and L = the attack
-            # graph's rec_iters. Fresh-vs-attack gap = restart
-            # stochasticity's contribution to the defended accuracy.
+            # into (z0, noise) — mirror that here), L = the attack
+            # graph's rec_iters, AND the attack graph's numeric path
+            # (rec_kernel="xla": the attack differentiates through the
+            # generic f32 reconstruct; letting auto resolve to the bf16
+            # Pallas kernel here would diverge from the trajectory the
+            # attacker optimized against and re-introduce stochasticity
+            # into the leg meant to remove it). Fresh-vs-attack gap =
+            # restart stochasticity's contribution to defended accuracy.
             if args.attack_type == "rand_fgsm":
                 def key_fn(lo):
                     return jax.random.split(
@@ -321,7 +329,8 @@ def main(argv=None):
                 defended_acc_attack_z0 = model_eval_gan(
                     gan, logits_fn, x_adv, y_test,
                     batch_size=args.attack_batch,
-                    rec_iters=attack_rec_iters, key_fn=key_fn)
+                    rec_iters=attack_rec_iters, rec_kernel="xla",
+                    key_fn=key_fn)
             print(f"adversarial accuracy, Defense-GAN with the ATTACK's "
                   f"z0 (L={attack_rec_iters}): "
                   f"{defended_acc_attack_z0:.4f}")

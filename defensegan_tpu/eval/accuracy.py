@@ -44,6 +44,7 @@ def model_eval_gan(gan, logits_fn: LogitsFn, x: np.ndarray, y: np.ndarray,
                    rec_rr: Optional[int] = None,
                    rec_iters: Optional[int] = None,
                    rec_lr: Optional[float] = None,
+                   rec_kernel: Optional[str] = None,
                    key_fn: Optional[Callable[[int], jax.Array]] = None
                    ) -> float:
     """Defended accuracy: purify each batch via gan.reconstruct, classify.
@@ -57,9 +58,11 @@ def model_eval_gan(gan, logits_fn: LogitsFn, x: np.ndarray, y: np.ndarray,
     full MXU tiles / the fused Pallas kernels' grids, and fewer dispatches
     matter on transports with per-call overhead.
 
-    rec_rr/rec_iters/rec_lr override the cfg defaults — the full override
-    set of DefenseGAN.reconstruct, so e.g. a rec_lr sweep can run through
-    this eval path.
+    rec_rr/rec_iters/rec_lr/rec_kernel override the cfg defaults — the
+    full override set of DefenseGAN.reconstruct, so e.g. a rec_lr sweep
+    can run through this eval path. rec_kernel="xla" pins the eval to the
+    generic differentiable path (same numerics as an attack graph built on
+    defense.reconstruct — required for an exact attack-z0 replay).
 
     key_fn: when given, the restart-init key for the batch starting at
     index lo is key_fn(lo) instead of a fresh split of `key` — with
@@ -94,7 +97,8 @@ def model_eval_gan(gan, logits_fn: LogitsFn, x: np.ndarray, y: np.ndarray,
         else:
             key, k = jax.random.split(key)
         res = gan.reconstruct(jnp.asarray(xb), k, rec_rr=rec_rr,
-                              rec_iters=rec_iters, rec_lr=rec_lr)
+                              rec_iters=rec_iters, rec_lr=rec_lr,
+                              kernel=rec_kernel)
         total += int(correct_count(res.x_hat, jnp.asarray(yb),
                                    jnp.asarray(valid)))
     return total / n

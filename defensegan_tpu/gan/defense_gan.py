@@ -134,12 +134,19 @@ class DefenseGAN:
                     *, rec_rr: Optional[int] = None,
                     rec_iters: Optional[int] = None,
                     rec_lr: Optional[float] = None,
-                    back_prop: bool = False) -> ReconstructionResult:
+                    back_prop: bool = False,
+                    kernel: Optional[str] = None) -> ReconstructionResult:
         """Project x (in [0,1]) onto the generator manifold.
 
         Reference: models/gan.py::reconstruct(x, batch_size, back_prop,
         reconstructor_id); compiled programs are cached per (shape, R, L, lr,
         back_prop) — the role reconstructor_id played in TF1.
+
+        kernel overrides cfg.projection_kernel for this call (still routed
+        through resolve_projection_kernel's runnability guards). kernel="xla"
+        is the generic differentiable path — numerically identical to an
+        attack graph built on defense.reconstruct directly, which is what
+        --eval_z0 both uses to replay the attack's trajectory exactly.
         """
         cfg = self.cfg
         rr = rec_rr if rec_rr is not None else cfg.rec_rr
@@ -152,7 +159,8 @@ class DefenseGAN:
         # this (topology, batch*rr, back_prop, backend) and degrades every
         # guard failure to the per-arch best XLA path
         kernel = resolve_projection_kernel(self, n=x.shape[0] * rr,
-                                           back_prop=back_prop)
+                                           back_prop=back_prop,
+                                           requested=kernel)
         if kernel in ("pallas", "pallas_int8"):
             from defensegan_tpu.kernels import (
                 dense_kernel_available,

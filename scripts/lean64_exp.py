@@ -24,7 +24,6 @@ clean it ships as the 64x64 XLA path next.
 import json
 import os
 import sys
-import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
@@ -108,20 +107,8 @@ def make_lean_reconstructor(gan, *, rec_rr, rec_iters, rec_lr, momentum,
     return run
 
 
-def bench(run_fn, batch, image_shape, label, repeats=3):
-    x = jax.random.uniform(jax.random.key(0), (batch,) + tuple(image_shape),
-                           jnp.float32)
-    k = jax.random.key(1)
-    float(jnp.sum(run_fn(x, k).x_hat))
-    times = []
-    for i in range(repeats):
-        t0 = time.perf_counter()
-        float(jnp.sum(run_fn(x, jax.random.fold_in(k, i)).x_hat))
-        times.append(time.perf_counter() - t0)
-    v = batch / min(times)
-    print(json.dumps({"metric": label, "recon_per_sec": round(v, 2)}),
-          flush=True)
-    return v
+sys.path.insert(0, os.path.join(ROOT, "scripts"))
+from queue_lib import bench_recon as bench  # noqa: E402  (shared timing)
 
 
 def main():

@@ -169,6 +169,10 @@ def main():
         settings["rec_rr"] = args.rec_rr
     if args.style != "smooth":
         settings["style"] = args.style
+    if args.classifier_epochs != 10:
+        settings["classifier_epochs"] = args.classifier_epochs
+    if args.attack_batch != 64:
+        settings["attack_batch"] = args.attack_batch
     done = {}
     if not args.fresh and os.path.exists(rows_path):
         with open(rows_path) as f:

@@ -16,7 +16,6 @@ both kernels and tiles 64/128.
 import json
 import os
 import sys
-import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
@@ -37,23 +36,12 @@ from fused_projection_v3p_exp import (  # noqa: E402
     make_pallas_s2d_padded_reconstructor)
 
 
+from queue_lib import bench_recon  # noqa: E402  (shared timing)
+
+
 def bench(run, batch, image_shape, label, repeats=3):
-    x = jax.random.uniform(jax.random.key(0), (batch,) + tuple(image_shape),
-                           jnp.float32)
-    k = jax.random.key(1)
-    t0 = time.perf_counter()
-    float(jnp.sum(run(x, k).x_hat))   # compile + warm
-    print(f"  [{label}] compile+first: {time.perf_counter()-t0:.1f}s",
-          flush=True)
-    times = []
-    for i in range(repeats):
-        t0 = time.perf_counter()
-        float(jnp.sum(run(x, jax.random.fold_in(k, i)).x_hat))
-        times.append(time.perf_counter() - t0)
-    v = batch / min(times)
-    print(json.dumps({"metric": label, "recon_per_sec": round(v, 2)}),
-          flush=True)
-    return v
+    return bench_recon(run, batch, image_shape, label=label,
+                       repeats=repeats, print_compile=True)
 
 
 def main():

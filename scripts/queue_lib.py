@@ -28,11 +28,51 @@ def run_script(path, argv):
             raise
 
 
+def bench_recon(run_fn, batch, image_shape, label=None, repeats=3,
+                print_compile=False):
+    """Canonical recon/s timing for run_fn(x, key) -> ReconstructionResult.
+
+    One warm-up call (compile), then min-of-`repeats`, each synchronized
+    with a host fetch (float(jnp.sum(...))) — CLAUDE.md: on the axon
+    transport block_until_ready is not an honest barrier. Shared by the
+    experiment/queue scripts so the timing methodology lives in ONE place.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.random.uniform(jax.random.key(0), (batch,) + tuple(image_shape),
+                           jnp.float32)
+    k = jax.random.key(1)
+    t0 = time.perf_counter()
+    float(jnp.sum(run_fn(x, k).x_hat))  # compile + warm
+    if print_compile:
+        print(f"  [{label}] compile+first: {time.perf_counter()-t0:.1f}s",
+              flush=True)
+    times = []
+    for i in range(repeats):
+        t0 = time.perf_counter()
+        float(jnp.sum(run_fn(x, jax.random.fold_in(k, i)).x_hat))
+        times.append(time.perf_counter() - t0)
+    v = batch / min(times)
+    if label is not None:
+        import json
+        print(json.dumps({"metric": label, "recon_per_sec": round(v, 2)}),
+              flush=True)
+    return v
+
+
 def run_steps(steps, only=(), label="queue"):
     """Run (name, fn) steps with .done markers + per-step crash isolation;
     exits 1 if any step failed (so a retry loop can resume)."""
     os.makedirs(QDIR, exist_ok=True)
     only = set(only)
+    known = {name for name, _ in steps}
+    unknown = only - known
+    if unknown:
+        # a typo'd step name must not report a clean no-op run
+        print(f"unknown step(s) {sorted(unknown)}; "
+              f"available: {sorted(known)}", flush=True)
+        sys.exit(2)
     failures = []
     for name, fn in steps:
         if only and name not in only:

@@ -24,8 +24,6 @@ Run:  python scripts/round3_queue.py [step ...]   (default: all pending)
 import json
 import os
 import sys
-import time
-import traceback
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
@@ -34,7 +32,8 @@ sys.path.insert(1, os.path.join(ROOT, "scripts"))
 from defensegan_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
-from queue_lib import QDIR, run_script, run_steps  # noqa: E402,F401
+from queue_lib import (QDIR, bench_recon, run_script,  # noqa: E402,F401
+                       run_steps)
 
 def step_bench():
     run_script("bench.py", [])
@@ -99,8 +98,6 @@ def step_celeba_wide_eval():
 
 
 def step_celeba_wide_bench():
-    import jax
-    import jax.numpy as jnp
     from defensegan_tpu.configs import load_config
     from defensegan_tpu.gan import DefenseGAN
 
@@ -109,17 +106,7 @@ def step_celeba_wide_bench():
         cfg.projection_kernel = kernel
         gan = DefenseGAN(cfg)
         gan.load()
-        x = jax.random.uniform(jax.random.key(0), (256,) + cfg.image_shape,
-                               jnp.float32)
-        k = jax.random.key(1)
-        float(jnp.sum(gan.reconstruct(x, k).x_hat))
-        times = []
-        for i in range(3):
-            t0 = time.perf_counter()
-            float(jnp.sum(gan.reconstruct(x, jax.random.fold_in(k, i))
-                          .x_hat))
-            times.append(time.perf_counter() - t0)
-        v = 256 / min(times)
+        v = bench_recon(gan.reconstruct, 256, cfg.image_shape)
         print(json.dumps({"metric": f"celeba_wide_{kernel}",
                           "recon_per_sec": round(v, 2),
                           "rec_rr": cfg.rec_rr,

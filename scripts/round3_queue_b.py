@@ -27,7 +27,6 @@ markers). Run: python scripts/round3_queue_b.py [step ...]
 import json
 import os
 import sys
-import time
 import traceback
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -37,11 +36,10 @@ sys.path.insert(1, os.path.join(ROOT, "scripts"))
 from defensegan_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
-from queue_lib import QDIR, run_script, run_steps  # noqa: E402,F401
+from queue_lib import (QDIR, bench_recon, run_script,  # noqa: E402,F401
+                       run_steps)
 
 def step_sweep64():
-    import jax
-    import jax.numpy as jnp
     from defensegan_tpu.configs import load_config
     from defensegan_tpu.gan import DefenseGAN
 
@@ -55,20 +53,10 @@ def step_sweep64():
                 cfg.packed_variant = variant
             gan = DefenseGAN(cfg)
             gan.load()
-            x = jax.random.uniform(jax.random.key(0),
-                                   (256,) + cfg.image_shape, jnp.float32)
-            k = jax.random.key(1)
             label = f"{cfg_name}_{kernel}" + (f"_{variant}" if variant
                                               else "")
             try:
-                float(jnp.sum(gan.reconstruct(x, k).x_hat))
-                times = []
-                for i in range(3):
-                    t0 = time.perf_counter()
-                    float(jnp.sum(gan.reconstruct(
-                        x, jax.random.fold_in(k, i)).x_hat))
-                    times.append(time.perf_counter() - t0)
-                v = 256 / min(times)
+                v = bench_recon(gan.reconstruct, 256, cfg.image_shape)
             except Exception:
                 traceback.print_exc()
                 print(f"[sweep64] {label} FAILED — continuing", flush=True)

@@ -15,7 +15,6 @@ Same discipline as round3_queue.py. Run: python scripts/round3_queue_c.py
 import json
 import os
 import sys
-import time
 import traceback
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -25,7 +24,8 @@ sys.path.insert(1, os.path.join(ROOT, "scripts"))
 from defensegan_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 enable_compilation_cache()
 
-from queue_lib import QDIR, run_script, run_steps  # noqa: E402,F401
+from queue_lib import (QDIR, bench_recon, run_script,  # noqa: E402,F401
+                       run_steps)
 
 def step_ilp():
     run_script("scripts/pallas_v3_ilp_exp.py", ["4096"])
@@ -41,10 +41,7 @@ def step_occupancy64():
     # does the 64x64 projection leave throughput on the table at small
     # batch? (prof64 ran N=256 latents; the MXU could be under-occupied)
     import json
-    import time as _t
 
-    import jax
-    import jax.numpy as jnp
     from defensegan_tpu.configs import load_config
     from defensegan_tpu.gan import DefenseGAN
 
@@ -54,18 +51,9 @@ def step_occupancy64():
         gan = DefenseGAN(cfg)
         gan.load()
         for batch in (256, 512, 1024):
-            x = jax.random.uniform(jax.random.key(0),
-                                   (batch,) + cfg.image_shape, jnp.float32)
-            k = jax.random.key(1)
             try:
-                float(jnp.sum(gan.reconstruct(x, k).x_hat))
-                times = []
-                for i in range(2):
-                    t0 = _t.perf_counter()
-                    float(jnp.sum(gan.reconstruct(
-                        x, jax.random.fold_in(k, i)).x_hat))
-                    times.append(_t.perf_counter() - t0)
-                v = batch / min(times)
+                v = bench_recon(gan.reconstruct, batch, cfg.image_shape,
+                                repeats=2)
             except Exception:
                 traceback.print_exc()
                 print(f"[occupancy64] {name} batch {batch} FAILED "

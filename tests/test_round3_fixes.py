@@ -196,8 +196,10 @@ def test_model_eval_gan_rec_lr_passthrough():
     x = np.random.RandomState(0).rand(2, 2, 2, 1).astype(np.float32)
     y = np.zeros(2, np.int64)
     model_eval_gan(Gan(), lambda xb: jnp.ones((xb.shape[0], 2)), x, y,
-                   batch_size=2, rec_lr=3.5, rec_iters=7, rec_rr=2)
-    assert seen == {"rec_lr": 3.5, "rec_iters": 7, "rec_rr": 2}
+                   batch_size=2, rec_lr=3.5, rec_iters=7, rec_rr=2,
+                   rec_kernel="xla")
+    assert seen == {"rec_lr": 3.5, "rec_iters": 7, "rec_rr": 2,
+                    "kernel": "xla"}
 
 
 # ------------------------------------------------------ margin control
