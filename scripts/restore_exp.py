@@ -50,11 +50,41 @@ from defensegan_tpu.gan import DefenseGAN  # noqa: E402
 from defensegan_tpu.models import build_classifier  # noqa: E402
 
 
-def make_data(num, split, margin, wm_amp, seed=0):
+def make_marks(wm_amp, wm_style, seed):
+    """Per-class additive watermark [10, 28, 28, 1].
+
+    salt:   iid Bernoulli pixel salt — perfectly discriminative but pure
+            high-frequency noise, the hardest feature family for a DCGAN
+            generator to reproduce (its reconstruction noise is what caps
+            the restore at high amplitude).
+    smooth: low-frequency per-class blob field (sum of a few Gaussians)
+            — equally discriminative and equally flippable inside the
+            eps ball, but exactly the feature family deconv generators
+            learn best. Prediction: same collapse, much higher restore.
+    """
+    wrng = np.random.RandomState(seed * 131 + 7)
+    if wm_style == "salt":
+        return (wrng.rand(10, 28, 28, 1) < 0.5).astype(np.float32) * wm_amp
+    assert wm_style == "smooth", wm_style
+    yy, xx = np.mgrid[0:28, 0:28].astype(np.float32)
+    marks = np.zeros((10, 28, 28, 1), np.float32)
+    for c in range(10):
+        field = np.zeros((28, 28), np.float32)
+        for _ in range(4):
+            cy, cx = wrng.uniform(4, 24, 2)
+            sig = wrng.uniform(2.5, 5.0)
+            field += wrng.choice([-1.0, 1.0]) * np.exp(
+                -((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig * sig))
+        field -= field.min()          # positive so it survives [0,1] clip
+        field /= max(field.max(), 1e-6)
+        marks[c, :, :, 0] = field * wm_amp
+    return marks
+
+
+def make_data(num, split, margin, wm_amp, seed=0, wm_style="salt"):
     protos = synthetic_protos(28, 1, seed=seed, margin=margin,
                               style="sparse")  # [10, 28, 28, 1]
-    wrng = np.random.RandomState(seed * 131 + 7)
-    marks = (wrng.rand(10, 28, 28, 1) < 0.5).astype(np.float32) * wm_amp
+    marks = make_marks(wm_amp, wm_style, seed)
     salt = {"train": 0, "test": 2}[split]
     srng = np.random.RandomState(seed * 104729 + salt * 7907 + 23)
     labels = srng.randint(0, 10, size=num).astype(np.int32)
@@ -70,9 +100,12 @@ def main():
     margin = float(sys.argv[1]) if len(sys.argv) > 1 else 12.0
     wm_amp = float(sys.argv[2]) if len(sys.argv) > 2 else 0.1
     train_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 10000
+    wm_style = sys.argv[4] if len(sys.argv) > 4 else "salt"
     eps = 0.3
-    x_train, y_train = make_data(8192, "train", margin, wm_amp)
-    x_test, y_test = make_data(256, "test", margin, wm_amp)
+    x_train, y_train = make_data(8192, "train", margin, wm_amp,
+                                 wm_style=wm_style)
+    x_test, y_test = make_data(256, "test", margin, wm_amp,
+                               wm_style=wm_style)
 
     cfg = Config(type="mnist", gen_arch="wide", gen_dim=16, latent_dim=128,
                  disc_dim=64, batch_size=64, disc_iters=5,
@@ -81,7 +114,9 @@ def main():
                  train_iters=train_iters, sample_every=10**9,
                  save_every=train_iters,
                  output_dir=os.path.join(
-                     "output", "gans", f"restore_m{margin:g}_w{wm_amp:g}"))
+                     "output", "gans",
+                     f"restore_m{margin:g}_w{wm_amp:g}" +
+                     ("" if wm_style == "salt" else f"_{wm_style}")))
     gan = DefenseGAN(cfg)
     if gan.can_load():
         gan.load()
@@ -119,8 +154,8 @@ def main():
     def craft_bare(xb, yb, k):
         return fgsm(logits_fn, xb, yb, eps)
 
-    out = {"margin": margin, "wm_amp": wm_amp, "eps": eps,
-           "train_iters": train_iters,
+    out = {"margin": margin, "wm_amp": wm_amp, "wm_style": wm_style,
+           "eps": eps, "train_iters": train_iters,
            "clean_acc": clean, "clean_defended_acc": clean_def}
     for name, craft in (("through_defense", craft_def),
                         ("bare_graph", craft_bare)):
