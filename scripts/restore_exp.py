@@ -60,7 +60,11 @@ def make_marks(wm_amp, wm_style, seed):
     smooth: low-frequency per-class blob field (sum of a few Gaussians)
             — equally discriminative and equally flippable inside the
             eps ball, but exactly the feature family deconv generators
-            learn best. Prediction: same collapse, much higher restore.
+            learn best. Prediction was "same collapse, much higher
+            restore"; MEASURED (queue G): smooth restores 5-8 points
+            WORSE at matched collapse depth — on-manifold flips survive
+            the projection, off-manifold salt flips are stripped (see
+            RESULTS.md collapse section for the mechanism).
     """
     wrng = np.random.RandomState(seed * 131 + 7)
     if wm_style == "salt":
