@@ -109,12 +109,29 @@ def run_family(wm_style, wm_amp, margin=12.0, eps=0.3, n=256):
     lo = _blur3(r_adv - r_clean)
     d_out_lo = float(jnp.mean(jnp.linalg.norm(
         lo.reshape(lo.shape[0], -1), axis=1)))
+
+    # Aggregate survival conflates perturbation RESIDUE with full mode
+    # switches (projection lands in another class's mode, recon diff is
+    # huge by construction). Condition on the defended prediction:
+    # residue on still-correct images is the clean mechanism read.
+    per_in = jnp.linalg.norm(
+        (x_adv - x_clean).reshape(n, -1), axis=1)
+    per_out = jnp.linalg.norm(
+        (r_adv - r_clean).reshape(n, -1), axis=1)
+    per_surv = np.asarray(per_out / jnp.maximum(per_in, 1e-9))
+    pred = np.asarray(jnp.argmax(logits_fn(r_adv), axis=-1))
+    correct = pred == y_test
     row = {"family": wm_style, "wm_amp": wm_amp, "eps": eps, "n": n,
            "d_input_l2": round(d_in, 4),
            "d_recon_l2": round(d_out, 4),
            "survival": round(d_out / d_in, 4),
            "d_recon_lowfreq_l2": round(d_out_lo, 4),
-           "lowfreq_frac": round(d_out_lo / max(d_out, 1e-9), 4)}
+           "lowfreq_frac": round(d_out_lo / max(d_out, 1e-9), 4),
+           "frac_defended_correct": round(float(correct.mean()), 4),
+           "survival_correct": round(float(per_surv[correct].mean()), 4)
+           if correct.any() else None,
+           "survival_wrong": round(float(per_surv[~correct].mean()), 4)
+           if (~correct).any() else None}
     print(json.dumps(row), flush=True)
     return row
 
