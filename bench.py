@@ -61,20 +61,26 @@ def measure(cfg_path, batch, rec_rr, rec_iters, repeats, kernel,
         gan.load()  # use trained weights when available; random init is
         # throughput-equivalent (same FLOPs) otherwise
 
-    explicit = kernel != "auto"
+    user_explicit = kernel != "auto"
     if kernel == "auto" and jax.default_backend() in ("tpu", "axon"):
         # bench-specific default: int8 v2i for the wide flagship (quality
         # gate ran on this checkpoint), bf16 v3 for deep (int8 v3 measured
         # slower — RESULTS.md)
         kernel = "pallas_int8" if cfg.gen_arch == "wide" else "pallas"
-        explicit = True
     # single source of truth with DefenseGAN.reconstruct — report what
     # ACTUALLY runs rather than mislabeling a silently-degraded path.
     # (auto resolving to an XLA path off-TPU is designed behavior, not a
-    # degradation — only warn when a concrete request can't run.)
+    # degradation; the bench-default promotion above degrading is a warned
+    # note — the record's `kernel` field carries what ran. But a USER-
+    # requested kernel that can't run is a refusal: exiting nonzero beats
+    # a headline number measured on the wrong path.)
     resolved = resolve_projection_kernel(gan, n=batch * cfg.rec_rr,
                                          requested=kernel)
-    if explicit and resolved != kernel:
+    if resolved != kernel:
+        if user_explicit:
+            sys.exit(f"error: --kernel {kernel} is not runnable for this "
+                     f"topology/batch (would degrade to {resolved}); "
+                     "change --batch/--cfg or drop --kernel")
         print(f"note: kernel={kernel} not runnable for this "
               f"topology/batch; measuring {resolved}", file=sys.stderr)
     cfg.projection_kernel = resolved  # dataclass field, reconstruct reads it

@@ -16,8 +16,15 @@ from defensegan_tpu.attacks.cw import (CWConfig, carlini_wagner_l2,
                                        make_chunked_cw)
 from defensegan_tpu.attacks.blackbox import (jacobian_augmentation,
                                              train_substitute)
+from defensegan_tpu.attacks.compose import (attack_batch_key, attack_z0_key,
+                                            make_attack_target,
+                                            split_rand_fgsm_key)
 
 __all__ = [
+    "attack_batch_key",
+    "attack_z0_key",
+    "make_attack_target",
+    "split_rand_fgsm_key",
     "fgsm",
     "rand_fgsm",
     "CWConfig",

@@ -23,9 +23,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from defensegan_tpu.attacks import (CWConfig, carlini_wagner_l2,
+from defensegan_tpu.attacks import (CWConfig, attack_batch_key,
+                                    attack_z0_key, carlini_wagner_l2,
                                     effective_cw_chunk, fgsm,
-                                    make_chunked_cw, rand_fgsm)
+                                    make_attack_target, make_chunked_cw,
+                                    rand_fgsm, split_rand_fgsm_key)
 from defensegan_tpu.cli.common import (add_cfg_args, cfg_from_args, limit,
                                        load_data, load_gan)
 from defensegan_tpu.eval import model_eval, model_eval_gan, train_classifier
@@ -149,6 +151,14 @@ def main(argv=None):
         ap.error(f"--alpha ({args.alpha}) must be < --fgsm_eps "
                  f"({args.fgsm_eps}) for rand_fgsm (the FGSM step is "
                  f"eps - alpha)")
+    if args.eval_z0 == "both" and (args.defense_type != "defense_gan"
+                                   or args.attack_type == "none"
+                                   or args.attack_through_defense != "yes"):
+        # catch at parse time: otherwise the run burns the full
+        # attack+eval pipeline and only then silently skips the replay leg
+        ap.error("--eval_z0 both replays the attack graph's z0, so it "
+                 "requires --defense_type defense_gan, an attack, and "
+                 "--attack_through_defense yes")
     if args.online_training:
         args.train_on_recs = True
     cfg = cfg_from_args(args)
@@ -195,18 +205,12 @@ def main(argv=None):
         # (back_prop=True), composed inside the attack's own jit. The
         # restart inits are seeded PER ATTACK BATCH (key argument; round-2
         # review: a fixed constant seeded every batch identically), so
-        # --eval_z0 both can reproduce them exactly at eval time.
-        def attack_target(x, key):
-            def gen_apply(z):
-                return gan.generator.apply(
-                    {"params": gan.state.gen_params,
-                     "batch_stats": gan.state.gen_stats}, z, train=False)
-            from defensegan_tpu.defense import reconstruct, sample_z0
-            z0 = sample_z0(key, x.shape[0], cfg.rec_rr, cfg.latent_dim)
-            res = reconstruct(gen_apply, x, z0, rec_iters=attack_rec_iters,
-                              rec_lr=cfg.rec_lr, momentum=cfg.rec_momentum,
-                              back_prop=True)
-            return logits_fn(res.x_hat)
+        # --eval_z0 both can reproduce them exactly at eval time. The
+        # composition lives in attacks/compose.py — shared with the
+        # experiment scripts, and it pins unroll=cfg.rec_unroll to the
+        # same value the replay leg's reconstruct uses.
+        attack_target = make_attack_target(gan, logits_fn, cfg,
+                                           rec_iters=attack_rec_iters)
     else:
         attack_target = logits_fn
 
@@ -224,7 +228,8 @@ def main(argv=None):
         elif args.attack_type == "rand_fgsm":
             @jax.jit
             def craft(xb, yb, k):
-                kz, kn = jax.random.split(k)
+                kz, kn = split_rand_fgsm_key(k)  # z0 half replayed by
+                # attack_z0_key in the --eval_z0 both leg
                 tgt = ((lambda x: attack_target(x, kz)) if through_defense
                        else attack_target)
                 return rand_fgsm(tgt, xb, yb, args.fgsm_eps,
@@ -270,7 +275,7 @@ def main(argv=None):
         for i in range(0, pad_to, bs):
             advs.append(np.asarray(craft(jnp.asarray(xp[i:i + bs]),
                                          jnp.asarray(yp[i:i + bs]),
-                                         jax.random.fold_in(k_att, i))))
+                                         attack_batch_key(k_att, i))))
         x_adv = np.concatenate(advs)[:n]
     attack_time = time.time() - t0
     timer.record("attack", attack_time)
@@ -309,22 +314,18 @@ def main(argv=None):
         if (args.eval_z0 == "both" and through_defense
                 and args.attack_type != "none"):
             # reuse the attack graph's exact per-batch z0: same batch
-            # partitioning, same per-batch keys (rand_fgsm split its key
-            # into (z0, noise) — mirror that here), L = the attack
-            # graph's rec_iters, AND the attack graph's numeric path
-            # (rec_kernel="xla": the attack differentiates through the
-            # generic f32 reconstruct; letting auto resolve to the bf16
-            # Pallas kernel here would diverge from the trajectory the
-            # attacker optimized against and re-introduce stochasticity
-            # into the leg meant to remove it). Fresh-vs-attack gap =
-            # restart stochasticity's contribution to defended accuracy.
-            if args.attack_type == "rand_fgsm":
-                def key_fn(lo):
-                    return jax.random.split(
-                        jax.random.fold_in(k_att, lo))[0]
-            else:
-                def key_fn(lo):
-                    return jax.random.fold_in(k_att, lo)
+            # partitioning, same per-batch keys (attack_z0_key shares its
+            # derivation with the craft loop — attacks/compose.py), L =
+            # the attack graph's rec_iters, AND the attack graph's
+            # numeric path (rec_kernel="xla": the attack differentiates
+            # through the generic f32 reconstruct; letting auto resolve
+            # to the bf16 Pallas kernel here would diverge from the
+            # trajectory the attacker optimized against and re-introduce
+            # stochasticity into the leg meant to remove it). The
+            # fresh-vs-attack gap = restart stochasticity's contribution
+            # to defended accuracy.
+            def key_fn(lo):
+                return attack_z0_key(k_att, lo, args.attack_type)
             with timer.phase("purify_classify_adv_attack_z0"):
                 defended_acc_attack_z0 = model_eval_gan(
                     gan, logits_fn, x_adv, y_test,

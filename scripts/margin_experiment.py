@@ -39,9 +39,9 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from defensegan_tpu.configs import Config  # noqa: E402
+from defensegan_tpu.attacks import make_attack_target  # noqa: E402
 from defensegan_tpu.data.synthetic import (make_synthetic, min_pairwise_l2,  # noqa: E402
                                            synthetic_protos)
-from defensegan_tpu.defense import reconstruct, sample_z0  # noqa: E402
 from defensegan_tpu.eval import (model_eval, model_eval_gan,  # noqa: E402
                                  train_classifier)
 from defensegan_tpu.gan import DefenseGAN  # noqa: E402
@@ -95,18 +95,9 @@ def run_level(margin, args):
     clean_def = model_eval_gan(gan, logits_fn, x_test, y_test, key=k_eval)
 
     # FGSM eps=0.3 THROUGH the unrolled defense (paper's strongest
-    # white-box; same composition as cli/whitebox.py attack_target)
-    def attack_target(x, k):
-        def gen_apply(z):
-            return gan.generator.apply(
-                {"params": gan.state.gen_params,
-                 "batch_stats": gan.state.gen_stats}, z, train=False)
-        z0 = sample_z0(k, x.shape[0], cfg.rec_rr, cfg.latent_dim)
-        res = reconstruct(gen_apply, x, z0,
-                          rec_iters=args.attack_rec_iters,
-                          rec_lr=cfg.rec_lr, momentum=cfg.rec_momentum,
-                          back_prop=True)
-        return logits_fn(res.x_hat)
+    # white-box; the SAME composition as cli/whitebox.py — shared helper)
+    attack_target = make_attack_target(gan, logits_fn, cfg,
+                                       rec_iters=args.attack_rec_iters)
 
     @jax.jit
     def craft(xb, yb, k):

@@ -291,21 +291,29 @@ def main():
                 for defense in ("none", "defense_gan", "adv_tr"):
                     if attack != "fgsm" and defense == "adv_tr":
                         continue  # paper reports adv_tr under FGSM only
+                    # CW cells cap num_tests at 256 (through-defense CW is
+                    # ~minutes per image-batch); the cap goes into the ONE
+                    # --num_tests entry rather than a second occurrence
+                    # that only wins by argparse last-wins
+                    n_tests = (min(args.num_tests, 256) if attack == "cw"
+                               else args.num_tests)
                     argv = ["--cfg", gan_dir, "--attack_type", attack,
                             "--defense_type", defense, "--model", model,
-                            "--num_tests", str(args.num_tests),
+                            "--num_tests", str(n_tests),
                             "--classifier_epochs",
                             str(args.classifier_epochs),
                             "--attack_rec_iters",
-                            str(args.attack_rec_iters),
-                            "--eval_z0", args.eval_z0]
+                            str(args.attack_rec_iters)]
+                    if defense == "defense_gan":
+                        # the replay leg only exists for defended cells
+                        # (whitebox now rejects --eval_z0 both elsewhere)
+                        argv += ["--eval_z0", args.eval_z0]
                     if attack == "cw":
                         full = model in args.cw_full_models
                         cw_iters = (args.cw_max_iterations if full
                                     else args.cw_light_iterations)
                         cw_bs = (args.cw_binary_search_steps if full
                                  else args.cw_light_bs_steps)
-                        n_cw = min(args.num_tests, 256)
                         argv += ["--cw_max_iterations", str(cw_iters),
                                  "--cw_binary_search_steps", str(cw_bs),
                                  # cleverhans' own default; also saves chip
@@ -313,10 +321,9 @@ def main():
                                  "--cw_abort_early",
                                  "--cw_chunk_iters",
                                  str(args.cw_chunk_iters),
-                                 "--num_tests", str(n_cw),
                                  # one full-width batch: best MXU utilization
                                  # for the grad-through-reconstruction steps
-                                 "--attack_batch", str(n_cw)]
+                                 "--attack_batch", str(n_tests)]
                     run_cell(dataset, model, attack, defense, real,
                              lambda argv=argv, attack=attack,
                              defense=defense: cell_value(

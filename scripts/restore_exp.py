@@ -42,8 +42,8 @@ import numpy as np  # noqa: E402
 
 from defensegan_tpu.attacks import fgsm  # noqa: E402
 from defensegan_tpu.configs import Config  # noqa: E402
+from defensegan_tpu.attacks import make_attack_target  # noqa: E402
 from defensegan_tpu.data.synthetic import synthetic_protos  # noqa: E402
-from defensegan_tpu.defense import reconstruct, sample_z0  # noqa: E402
 from defensegan_tpu.eval import (model_eval, model_eval_gan,  # noqa: E402
                                  train_classifier)
 from defensegan_tpu.gan import DefenseGAN  # noqa: E402
@@ -139,16 +139,9 @@ def main():
     clean = model_eval(logits_fn, x_test, y_test)
     clean_def = model_eval_gan(gan, logits_fn, x_test, y_test, key=k_eval)
 
-    def attack_target(x, k):
-        def gen_apply(z):
-            return gan.generator.apply(
-                {"params": gan.state.gen_params,
-                 "batch_stats": gan.state.gen_stats}, z, train=False)
-        z0 = sample_z0(k, x.shape[0], cfg.rec_rr, cfg.latent_dim)
-        res = reconstruct(gen_apply, x, z0, rec_iters=200,
-                          rec_lr=cfg.rec_lr, momentum=cfg.rec_momentum,
-                          back_prop=True)
-        return logits_fn(res.x_hat)
+    # same composition as cli/whitebox.py (shared helper); this script
+    # attacks through the full L=200 unroll regardless of cfg.rec_iters
+    attack_target = make_attack_target(gan, logits_fn, cfg, rec_iters=200)
 
     @jax.jit
     def craft_def(xb, yb, k):
