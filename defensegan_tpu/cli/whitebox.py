@@ -138,6 +138,11 @@ def main(argv=None):
                     "defended accuracy is restart stochasticity vs real "
                     "attack resistance (needs --attack_through_defense "
                     "yes)")
+    ap.add_argument("--detect", action="store_true",
+                    help="also report attack DETECTION by reconstruction "
+                    "error (paper section 5.1): ROC AUC between the clean "
+                    "and adversarial test sets' final projection losses, "
+                    "plus the detection rate at 5%% FPR")
     ap.add_argument("--results_dir", default="output/results")
     ap.add_argument("--save_images", action="store_true",
                     help="dump original|adversarial|purified grids into "
@@ -159,6 +164,9 @@ def main(argv=None):
         ap.error("--eval_z0 both replays the attack graph's z0, so it "
                  "requires --defense_type defense_gan, an attack, and "
                  "--attack_through_defense yes")
+    if args.detect and args.attack_type == "none":
+        ap.error("--detect compares clean vs adversarial reconstruction "
+                 "errors; it needs an --attack_type")
     if args.online_training:
         args.train_on_recs = True
     cfg = cfg_from_args(args)
@@ -168,7 +176,8 @@ def main(argv=None):
     x_test, y_test = ds.load("test")
     x_test, y_test = limit(x_test, y_test, args.num_tests)
 
-    need_gan = args.defense_type == "defense_gan" or args.train_on_recs
+    need_gan = (args.defense_type == "defense_gan" or args.train_on_recs
+                or args.detect)
     gan = load_gan(cfg, require_trained=False)
     if need_gan and not gan.can_load():
         print("WARNING: no trained GAN checkpoint found; defense uses "
@@ -338,6 +347,32 @@ def main(argv=None):
     elif args.defense_type == "adv_tr":
         defended_acc = adv_acc  # the defense is in the classifier weights
 
+    # --- attack DETECTION by reconstruction error (paper section 5.1:
+    # adversarial inputs sit farther from the generator manifold, so the
+    # final projection loss separates clean from attacked; eval/detect.py)
+    detection_auc = None
+    detection_tpr_fpr05 = None
+    rec_err_clean = rec_err_adv = None
+    if args.detect:
+        from defensegan_tpu.eval import (reconstruction_errors, roc_auc,
+                                         tpr_at_fpr)
+
+        with timer.phase("detect"):
+            # same base key for both passes => corresponding batches draw
+            # identical restart z0: the clean/adv error comparison is
+            # paired, not confounded by restart luck
+            k_det = jax.random.fold_in(k_eval, 555)
+            errs_clean = reconstruction_errors(gan, x_test, key=k_det)
+            errs_adv = reconstruction_errors(gan, x_adv, key=k_det)
+        detection_auc = roc_auc(errs_clean, errs_adv)
+        detection_tpr_fpr05, _ = tpr_at_fpr(errs_clean, errs_adv, 0.05)
+        rec_err_clean = float(errs_clean.mean())
+        rec_err_adv = float(errs_adv.mean())
+        print(f"attack detection by rec error: AUC {detection_auc:.4f}, "
+              f"detection rate {detection_tpr_fpr05:.4f} @ 5% FPR "
+              f"(mean rec err clean {rec_err_clean:.5f} vs adversarial "
+              f"{rec_err_adv:.5f})")
+
     ensure_dir(args.results_dir)
     record = {
         "script": "whitebox", "dataset": cfg.type, "model": args.model,
@@ -361,6 +396,10 @@ def main(argv=None):
         "adv_acc_no_defense": adv_acc,
         "defended_acc": defended_acc,
         "defended_acc_attack_z0": defended_acc_attack_z0,
+        "detection_auc": detection_auc,
+        "detection_tpr_at_fpr05": detection_tpr_fpr05,
+        "rec_err_clean_mean": rec_err_clean,
+        "rec_err_adv_mean": rec_err_adv,
         "attack_time_s": round(attack_time, 2),
         "phases": timer.summary(),
     }

@@ -1,0 +1,110 @@
+"""Adversarial-input DETECTION via reconstruction error.
+
+The Defense-GAN paper's third capability (Samangouei et al., ICLR 2018,
+arXiv:1805.06605 section 5.1 "Attack detection"): because adversarial
+examples lie farther from the generator manifold than clean inputs, the
+final projection loss ||G(z*) - x||^2 is itself a detection statistic —
+threshold it and report the ROC. The public kabkabm/defensegan repo does
+not ship a detection CLI (SURVEY.md section 2 accordingly omits it);
+this module is paper-parity surplus, exposed as `whitebox.py --detect`.
+
+TPU notes: the scores come from the same jitted/batched projection the
+defense uses (gan.reconstruct — Pallas/XLA kernel dispatch included), so
+detection costs one extra reconstruction pass over the clean test set;
+the ROC/AUC math is a few thousand floats on the host.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+def reconstruction_errors(gan, x: np.ndarray,
+                          key: Optional[jax.Array] = None,
+                          batch_size: Optional[int] = None,
+                          rec_rr: Optional[int] = None,
+                          rec_iters: Optional[int] = None,
+                          rec_lr: Optional[float] = None,
+                          rec_kernel: Optional[str] = None,
+                          key_fn: Optional[Callable[[int], jax.Array]] = None,
+                          ) -> np.ndarray:
+    """Per-image final projection loss (tanh-space MSE), shape [N].
+
+    Batching/padding/override semantics mirror model_eval_gan
+    (eval/accuracy.py) — same static-shape padding, same rec_* override
+    set, same key_fn hook for exact z0 replay.
+    """
+    key = key if key is not None else jax.random.key(0)
+    n = x.shape[0]
+    if batch_size is None:
+        batch_size = min(1024, ((n + 255) // 256) * 256)
+
+    out = []
+    for lo in range(0, n, batch_size):
+        xb = x[lo:lo + batch_size]
+        pad = batch_size - xb.shape[0]
+        if pad:
+            xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:],
+                                              xb.dtype)])
+        if key_fn is not None:
+            k = key_fn(lo)
+        else:
+            key, k = jax.random.split(key)
+        res = gan.reconstruct(jax.numpy.asarray(xb), k, rec_rr=rec_rr,
+                              rec_iters=rec_iters, rec_lr=rec_lr,
+                              kernel=rec_kernel)
+        out.append(np.asarray(res.loss, np.float64))
+    return np.concatenate(out)[:n]
+
+
+def roc_auc(scores_neg: np.ndarray, scores_pos: np.ndarray) -> float:
+    """Area under the ROC for `score > threshold => positive`.
+
+    Rank-based (Mann-Whitney U) with average ranks for ties — exact, no
+    threshold grid, no sklearn. 0.5 = chance, 1.0 = perfect separation.
+    """
+    neg = np.asarray(scores_neg, np.float64)
+    pos = np.asarray(scores_pos, np.float64)
+    if neg.size == 0 or pos.size == 0:
+        raise ValueError("roc_auc needs both negative and positive scores")
+    combined = np.concatenate([neg, pos])
+    order = np.argsort(combined, kind="mergesort")
+    ranks = np.empty_like(combined)
+    ranks[order] = np.arange(1, combined.size + 1, dtype=np.float64)
+    # average ranks over tied values
+    sorted_vals = combined[order]
+    i = 0
+    while i < sorted_vals.size:
+        j = i
+        while j + 1 < sorted_vals.size and sorted_vals[j + 1] == sorted_vals[i]:
+            j += 1
+        if j > i:
+            ranks[order[i:j + 1]] = 0.5 * (i + 1 + j + 1)
+        i = j + 1
+    u = ranks[neg.size:].sum() - pos.size * (pos.size + 1) / 2.0
+    return float(u / (neg.size * pos.size))
+
+
+def roc_points(scores_neg: np.ndarray, scores_pos: np.ndarray
+               ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(fpr, tpr, thresholds) sweeping the threshold over every score."""
+    neg = np.asarray(scores_neg, np.float64)
+    pos = np.asarray(scores_pos, np.float64)
+    thresholds = np.unique(np.concatenate([neg, pos]))[::-1]
+    fpr = np.array([(neg > t).mean() for t in thresholds])
+    tpr = np.array([(pos > t).mean() for t in thresholds])
+    return fpr, tpr, thresholds
+
+
+def tpr_at_fpr(scores_neg: np.ndarray, scores_pos: np.ndarray,
+               max_fpr: float = 0.05) -> Tuple[float, float]:
+    """(detection rate, threshold) at the largest FPR <= max_fpr."""
+    fpr, tpr, thr = roc_points(scores_neg, scores_pos)
+    ok = fpr <= max_fpr
+    if not ok.any():
+        return 0.0, float("inf")
+    i = int(np.argmax(tpr[ok]))
+    return float(tpr[ok][i]), float(thr[ok][i])

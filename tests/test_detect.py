@@ -1,0 +1,102 @@
+"""Attack detection by reconstruction error (eval/detect.py; paper
+section 5.1 — the public repo ships no detection CLI, so these tests are
+the spec: exact rank-based AUC, threshold sweep, batched/padded score
+extraction through gan.reconstruct, and the whitebox --detect wiring)."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from defensegan_tpu.configs import Config  # noqa: E402
+from defensegan_tpu.eval import (reconstruction_errors, roc_auc,  # noqa: E402
+                                 roc_points, tpr_at_fpr)
+from defensegan_tpu.gan import DefenseGAN  # noqa: E402
+
+
+# ------------------------------------------------------------- ROC math
+def test_roc_auc_separated_and_chance():
+    rng = np.random.RandomState(0)
+    neg = rng.rand(200)
+    assert roc_auc(neg, neg + 10.0) == 1.0          # perfect separation
+    assert roc_auc(neg + 10.0, neg) == 0.0          # inverted
+    same = rng.rand(500)
+    assert abs(roc_auc(same, same) - 0.5) < 1e-12   # identical => chance
+
+
+def test_roc_auc_matches_pairwise_definition():
+    """AUC == P(pos > neg) + 0.5 P(tie), computed by brute force."""
+    rng = np.random.RandomState(1)
+    neg = np.round(rng.rand(40), 1)   # coarse values force ties
+    pos = np.round(rng.rand(30) + 0.2, 1)
+    brute = np.mean((pos[:, None] > neg[None, :])
+                    + 0.5 * (pos[:, None] == neg[None, :]))
+    assert abs(roc_auc(neg, pos) - brute) < 1e-12
+
+
+def test_roc_auc_rejects_empty():
+    with pytest.raises(ValueError):
+        roc_auc(np.array([]), np.array([1.0]))
+
+
+def test_roc_points_and_tpr_at_fpr():
+    neg = np.array([0.0, 0.1, 0.2, 0.3])
+    pos = np.array([0.25, 0.4, 0.5, 0.6])
+    fpr, tpr, thr = roc_points(neg, pos)
+    assert fpr.shape == tpr.shape == thr.shape
+    assert (np.diff(fpr) >= 0).all()  # monotone as threshold drops
+    assert (np.diff(tpr) >= 0).all()
+    rate, threshold = tpr_at_fpr(neg, pos, max_fpr=0.0)
+    assert rate == 0.75  # 3 of 4 positives above the max negative (0.3)
+    assert threshold == 0.3
+    # degenerate: all scores tie => nothing detectable at fpr 0
+    rate0, _ = tpr_at_fpr(np.array([1.0]), np.array([1.0]), max_fpr=0.0)
+    assert rate0 == 0.0
+
+
+# ----------------------------------------------------- score extraction
+def test_reconstruction_errors_batching_and_signal():
+    cfg = Config(type="mnist", gen_dim=4, latent_dim=8, disc_dim=4,
+                 rec_rr=2, rec_iters=5)
+    gan = DefenseGAN(cfg)
+    key = jax.random.key(3)
+    # "clean" = images the random generator CAN produce; "adversarial" =
+    # uniform noise far from its manifold
+    x_on = np.asarray(gan.generate(jax.random.key(4), 6))
+    x_off = np.asarray(jax.random.uniform(jax.random.key(5),
+                                          (6, 28, 28, 1)))
+    # batch_size 4 over 6 images exercises the padded last batch
+    e_on = reconstruction_errors(gan, x_on, key=key, batch_size=4)
+    e_off = reconstruction_errors(gan, x_off, key=key, batch_size=4)
+    assert e_on.shape == e_off.shape == (6,)
+    assert np.isfinite(e_on).all() and np.isfinite(e_off).all()
+    # on-manifold images must reconstruct strictly better on average,
+    # and the detector must separate the two sets well above chance
+    assert e_on.mean() < e_off.mean()
+    assert roc_auc(e_on, e_off) >= 0.8
+
+
+def test_reconstruction_errors_full_batch_single_call():
+    cfg = Config(type="mnist", gen_dim=4, latent_dim=8, disc_dim=4,
+                 rec_rr=2, rec_iters=3)
+    gan = DefenseGAN(cfg)
+    x = np.asarray(jax.random.uniform(jax.random.key(6), (4, 28, 28, 1)))
+    e1 = reconstruction_errors(gan, x, key=jax.random.key(7), batch_size=4)
+    e2 = reconstruction_errors(gan, x, key=jax.random.key(7), batch_size=4)
+    assert np.array_equal(e1, e2)  # deterministic given the key
+
+
+# ------------------------------------------------------- CLI validation
+def test_whitebox_detect_requires_attack():
+    from defensegan_tpu.cli import whitebox
+
+    with pytest.raises(SystemExit) as ex:
+        whitebox.main(["--attack_type", "none", "--defense_type", "none",
+                       "--detect"])
+    assert ex.value.code == 2
