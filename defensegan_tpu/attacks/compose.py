@@ -19,16 +19,26 @@ import jax.numpy as jnp
 
 def make_attack_target(gan, logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
                        cfg, rec_iters: Optional[int] = None,
+                       grad_mode: str = "exact",
                        ) -> Callable[[jnp.ndarray, jax.Array], jnp.ndarray]:
-    """logits(x, key) through the UNROLLED differentiable defense.
+    """logits(x, key) through the defense, differentiable w.r.t. x.
 
-    The composition every through-defense attack differentiates:
-    classifier(G(z*)) where z* comes from the R x L momentum-GD projection
-    seeded by `key` (back_prop=True, so gradients flow to x through all L
-    steps). Uses cfg.rec_unroll — the same scan-unroll factor
+    grad_mode="exact" (the reference's white-box): classifier(G(z*))
+    where z* comes from the R x L momentum-GD projection seeded by `key`,
+    built with back_prop=True so gradients flow to x through all L
+    unrolled steps. Uses cfg.rec_unroll — the same scan-unroll factor
     DefenseGAN.reconstruct uses — so the --eval_z0 both replay leg
     (pinned to rec_kernel="xla") follows the attack graph's numeric path
     exactly.
+
+    grad_mode="bpda" (Athalye, Carlini & Wagner 2018, arXiv:1802.00420 —
+    the canonical adaptive attack on obfuscated/expensive gradients; NOT
+    in the reference): forward pass is the real projection, backward
+    pass approximates it as the identity (straight-through:
+    x + stop_grad(G(z*) − x)). The attack sees the true defended logits
+    but pays no 200-step backward — crafting is ~L times cheaper, and
+    for purification defenses whose output stays close to the input,
+    BPDA gradients are nearly as useful as exact ones.
 
     Args:
       gan: a DefenseGAN (duck-typed: .generator, .state.gen_params/.gen_stats).
@@ -36,9 +46,13 @@ def make_attack_target(gan, logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
       cfg: Config providing rec_rr / rec_lr / rec_momentum / rec_unroll /
         latent_dim (and rec_iters when not overridden).
       rec_iters: L inside the attack graph (default cfg.rec_iters).
+      grad_mode: "exact" | "bpda".
     """
     from defensegan_tpu.defense import reconstruct, sample_z0
 
+    if grad_mode not in ("exact", "bpda"):
+        raise ValueError(f"grad_mode must be 'exact' or 'bpda', "
+                         f"got {grad_mode!r}")
     L = cfg.rec_iters if rec_iters is None else rec_iters
 
     def attack_target(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
@@ -50,8 +64,13 @@ def make_attack_target(gan, logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
         z0 = sample_z0(key, x.shape[0], cfg.rec_rr, cfg.latent_dim)
         res = reconstruct(gen_apply, x, z0, rec_iters=L,
                           rec_lr=cfg.rec_lr, momentum=cfg.rec_momentum,
-                          back_prop=True, unroll=cfg.rec_unroll)
-        return logits_fn(res.x_hat)
+                          back_prop=(grad_mode == "exact"),
+                          unroll=cfg.rec_unroll)
+        x_hat = res.x_hat
+        if grad_mode == "bpda":
+            # straight-through identity: value = G(z*), d/dx = I
+            x_hat = x + jax.lax.stop_gradient(x_hat - x)
+        return logits_fn(x_hat)
 
     return attack_target
 

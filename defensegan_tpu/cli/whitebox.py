@@ -120,6 +120,14 @@ def main(argv=None):
                     help="L used INSIDE the attack graph (defaults to "
                     "cfg.rec_iters; the paper attacks through the full "
                     "unrolled loop)")
+    ap.add_argument("--attack_grad", default="exact",
+                    choices=["exact", "bpda"],
+                    help="gradient the through-defense attack uses: exact "
+                    "(reference: differentiate the unrolled L-step "
+                    "projection) or bpda (Athalye et al. 2018 "
+                    "straight-through identity around the projection — "
+                    "the canonical adaptive attack, ~L times cheaper to "
+                    "craft; forward pass is still the real defense)")
     ap.add_argument("--attack_through_defense", default="yes",
                     choices=["yes", "no"],
                     help="yes: attacker differentiates through the unrolled "
@@ -167,6 +175,13 @@ def main(argv=None):
     if args.detect and args.attack_type == "none":
         ap.error("--detect compares clean vs adversarial reconstruction "
                  "errors; it needs an --attack_type")
+    if args.attack_grad == "bpda" and (args.defense_type != "defense_gan"
+                                       or args.attack_type == "none"
+                                       or args.attack_through_defense
+                                       != "yes"):
+        ap.error("--attack_grad bpda approximates the gradient THROUGH "
+                 "the defense; it requires --defense_type defense_gan, an "
+                 "attack, and --attack_through_defense yes")
     if args.online_training:
         args.train_on_recs = True
     cfg = cfg_from_args(args)
@@ -219,7 +234,8 @@ def main(argv=None):
         # experiment scripts, and it pins unroll=cfg.rec_unroll to the
         # same value the replay leg's reconstruct uses.
         attack_target = make_attack_target(gan, logits_fn, cfg,
-                                           rec_iters=attack_rec_iters)
+                                           rec_iters=attack_rec_iters,
+                                           grad_mode=args.attack_grad)
     else:
         attack_target = logits_fn
 
@@ -389,6 +405,7 @@ def main(argv=None):
         "cw_abort_early": (args.cw_abort_early
                            if args.attack_type == "cw" else None),
         "attack_through_defense": args.attack_through_defense,
+        "attack_grad": (args.attack_grad if through_defense else None),
         "attack_z0": ("per_batch" if through_defense else None),
         "eval_z0": args.eval_z0,
         "train_on_recs": args.train_on_recs,
