@@ -10,6 +10,7 @@ attack-through-the-defense of the paper.
 """
 
 from defensegan_tpu.attacks.fgsm import fgsm, rand_fgsm
+from defensegan_tpu.attacks.pgd import make_chunked_pgd, pgd
 from defensegan_tpu.attacks.cw import (CWConfig, carlini_wagner_l2,
                                        carlini_wagner_l2_chunked,
                                        effective_cw_chunk,
@@ -27,6 +28,8 @@ __all__ = [
     "split_rand_fgsm_key",
     "fgsm",
     "rand_fgsm",
+    "pgd",
+    "make_chunked_pgd",
     "CWConfig",
     "carlini_wagner_l2",
     "carlini_wagner_l2_chunked",

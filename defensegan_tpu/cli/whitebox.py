@@ -27,7 +27,8 @@ from defensegan_tpu.attacks import (CWConfig, attack_batch_key,
                                     attack_z0_key, carlini_wagner_l2,
                                     effective_cw_chunk, fgsm,
                                     make_attack_target, make_chunked_cw,
-                                    rand_fgsm, split_rand_fgsm_key)
+                                    make_chunked_pgd, pgd, rand_fgsm,
+                                    split_rand_fgsm_key)
 from defensegan_tpu.cli.common import (add_cfg_args, cfg_from_args, limit,
                                        load_data, load_gan)
 from defensegan_tpu.eval import model_eval, model_eval_gan, train_classifier
@@ -87,7 +88,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     add_cfg_args(ap)
     ap.add_argument("--attack_type", default="fgsm",
-                    choices=["fgsm", "rand_fgsm", "cw", "none"])
+                    choices=["fgsm", "rand_fgsm", "cw", "pgd", "none"],
+                    help="fgsm/rand_fgsm/cw: the reference's attack suite; "
+                    "pgd: beyond-reference (Madry et al.) — pair with "
+                    "--attack_grad bpda for the Athalye et al. adaptive "
+                    "attack on this defense")
     ap.add_argument("--defense_type", default="defense_gan",
                     choices=["none", "defense_gan", "adv_tr"])
     ap.add_argument("--model", default="A", help="classifier A..F")
@@ -108,6 +113,26 @@ def main(argv=None):
                     "when attacking THROUGH the defense, where one fused "
                     "program would run minutes and trip the TPU runtime "
                     "watchdog; -1 = never chunk)")
+    ap.add_argument("--pgd_iters", type=int, default=40,
+                    help="PGD steps (Madry et al. MNIST setting: 40)")
+    ap.add_argument("--pgd_eps_iter", type=float, default=0.01,
+                    help="PGD per-step size (Madry et al. MNIST: 0.01); "
+                    "the ball radius is --fgsm_eps")
+    ap.add_argument("--pgd_rand_init",
+                    action=argparse.BooleanOptionalAction, default=True,
+                    help="uniform random start inside the eps ball")
+    ap.add_argument("--pgd_z0", default="per_step",
+                    choices=["per_step", "fixed"],
+                    help="restart-init keys the through-defense PGD target "
+                    "consumes: per_step (default) draws fresh z0 every "
+                    "step — EOT-style, the right attack on the stochastic "
+                    "defense; fixed pins one z0 draw for all steps, which "
+                    "--eval_z0 both can then replay exactly")
+    ap.add_argument("--pgd_chunk_iters", type=int, default=0,
+                    help="split the PGD loop into host-dispatched scan "
+                    "chunks of this many steps (0 = auto: chunk when "
+                    "attacking THROUGH the defense so no device program "
+                    "trips the TPU watchdog; -1 = never chunk)")
     ap.add_argument("--train_on_recs", action="store_true")
     ap.add_argument("--online_training", action="store_true",
                     help="alias kept for reference-CLI parity: train the "
@@ -172,6 +197,11 @@ def main(argv=None):
         ap.error("--eval_z0 both replays the attack graph's z0, so it "
                  "requires --defense_type defense_gan, an attack, and "
                  "--attack_through_defense yes")
+    if (args.eval_z0 == "both" and args.attack_type == "pgd"
+            and args.pgd_z0 == "per_step"):
+        ap.error("--eval_z0 both needs a single attack z0 to replay, but "
+                 "--pgd_z0 per_step draws fresh z0 every PGD step (EOT); "
+                 "use --pgd_z0 fixed for the replay leg")
     if args.detect and args.attack_type == "none":
         ap.error("--detect compares clean vs adversarial reconstruction "
                  "errors; it needs an --attack_type")
@@ -259,6 +289,37 @@ def main(argv=None):
                        else attack_target)
                 return rand_fgsm(tgt, xb, yb, args.fgsm_eps,
                                  args.alpha, kn)
+        elif args.attack_type == "pgd":
+            per_step = args.pgd_z0 == "per_step"
+            chunk = args.pgd_chunk_iters
+            if chunk == 0:
+                # auto: through the defense each step pays a full L-step
+                # projection (plus its backward under exact grad) — bound
+                # the device program; bare-classifier PGD fuses fine
+                if through_defense:
+                    chunk = 5 if args.attack_grad == "exact" else 20
+                else:
+                    chunk = -1
+            if chunk > 0:
+                chunk = max(1, min(chunk, args.pgd_iters))
+                print(f"PGD: host-chunked, {chunk} steps per device call")
+                chunked = make_chunked_pgd(
+                    attack_target, eps=args.fgsm_eps,
+                    eps_iter=args.pgd_eps_iter, nb_iter=args.pgd_iters,
+                    rand_init=args.pgd_rand_init, chunk_iters=chunk,
+                    keyed_logits=through_defense, per_step_keys=per_step,
+                    verbose=through_defense)
+
+                def craft(xb, yb, k):
+                    return chunked(xb, yb, k)
+            else:
+                @jax.jit
+                def craft(xb, yb, k):
+                    return pgd(attack_target, xb, yb, args.fgsm_eps,
+                               args.pgd_eps_iter, args.pgd_iters, key=k,
+                               rand_init=args.pgd_rand_init,
+                               keyed_logits=through_defense,
+                               per_step_keys=per_step)
         else:  # cw
             cw_cfg = CWConfig(
                 binary_search_steps=args.cw_binary_search_steps,
@@ -404,9 +465,19 @@ def main(argv=None):
                                    if args.attack_type == "cw" else None),
         "cw_abort_early": (args.cw_abort_early
                            if args.attack_type == "cw" else None),
+        "pgd_iters": (args.pgd_iters
+                      if args.attack_type == "pgd" else None),
+        "pgd_eps_iter": (args.pgd_eps_iter
+                         if args.attack_type == "pgd" else None),
+        "pgd_rand_init": (args.pgd_rand_init
+                          if args.attack_type == "pgd" else None),
+        "pgd_z0": (args.pgd_z0 if args.attack_type == "pgd"
+                   and through_defense else None),
         "attack_through_defense": args.attack_through_defense,
         "attack_grad": (args.attack_grad if through_defense else None),
-        "attack_z0": ("per_batch" if through_defense else None),
+        "attack_z0": ((("per_step" if args.attack_type == "pgd"
+                        and args.pgd_z0 == "per_step" else "per_batch"))
+                      if through_defense else None),
         "eval_z0": args.eval_z0,
         "train_on_recs": args.train_on_recs,
         "clean_acc": clean_acc, "clean_defended_acc": clean_defended_acc,
