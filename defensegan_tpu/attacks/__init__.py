@@ -7,6 +7,11 @@ All attacks here are jittable, run fully on-device, and accept a
 `logits_fn(x) -> logits` closure; composing `logits_fn` with the defense's
 differentiable reconstruction (back_prop=True) yields the white-box
 attack-through-the-defense of the paper.
+
+Beyond the reference's suite: PGD (pgd.py, Madry et al.) and BPDA
+gradients (compose.py grad_mode="bpda", Athalye et al. 2018) — together
+the canonical adaptive attack on purification defenses, with EOT-style
+per-step restart keys against the stochastic defense.
 """
 
 from defensegan_tpu.attacks.fgsm import fgsm, rand_fgsm
