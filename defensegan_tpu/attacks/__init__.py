@@ -23,12 +23,14 @@ from defensegan_tpu.attacks.cw import (CWConfig, carlini_wagner_l2,
 from defensegan_tpu.attacks.blackbox import (jacobian_augmentation,
                                              train_substitute)
 from defensegan_tpu.attacks.compose import (attack_batch_key, attack_z0_key,
+                                            make_attack_loss,
                                             make_attack_target,
                                             split_rand_fgsm_key)
 
 __all__ = [
     "attack_batch_key",
     "attack_z0_key",
+    "make_attack_loss",
     "make_attack_target",
     "split_rand_fgsm_key",
     "fgsm",

@@ -48,6 +48,22 @@ def make_attack_target(gan, logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
       rec_iters: L inside the attack graph (default cfg.rec_iters).
       grad_mode: "exact" | "bpda".
     """
+    fwd = _defended_forward(gan, cfg, rec_iters, grad_mode)
+
+    def attack_target(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        x_hat, _ = fwd(x, key)
+        return logits_fn(x_hat)
+
+    return attack_target
+
+
+def _defended_forward(gan, cfg, rec_iters, grad_mode):
+    """(x, key) -> (x_hat, ReconstructionResult) through the defense.
+
+    x_hat is differentiable w.r.t. x per grad_mode (exact: unrolled
+    back_prop; bpda: straight-through identity). Shared by
+    make_attack_target and make_attack_loss so the two attack surfaces
+    cannot drift."""
     from defensegan_tpu.defense import reconstruct, sample_z0
 
     if grad_mode not in ("exact", "bpda"):
@@ -55,7 +71,7 @@ def make_attack_target(gan, logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
                          f"got {grad_mode!r}")
     L = cfg.rec_iters if rec_iters is None else rec_iters
 
-    def attack_target(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    def fwd(x: jnp.ndarray, key: jax.Array):
         def gen_apply(z):
             return gan.generator.apply(
                 {"params": gan.state.gen_params,
@@ -70,9 +86,57 @@ def make_attack_target(gan, logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
         if grad_mode == "bpda":
             # straight-through identity: value = G(z*), d/dx = I
             x_hat = x + jax.lax.stop_gradient(x_hat - x)
-        return logits_fn(x_hat)
+        return x_hat, res
 
-    return attack_target
+    return fwd
+
+
+def make_attack_loss(gan, logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
+                     cfg, rec_iters: Optional[int] = None,
+                     grad_mode: str = "exact", rec_penalty: float = 0.0,
+                     ) -> Callable[[jnp.ndarray, jnp.ndarray, jax.Array],
+                                   jnp.ndarray]:
+    """Per-example attack loss through the defense, for loss-driven
+    attackers (PGD's loss_fn hook):
+
+        loss(x, labels, key) = xent(classifier(G(z*)), labels)
+                               - rec_penalty * rec_loss(x)          [B]
+
+    rec_penalty > 0 is the DETECTION-AWARE adaptive attack (the
+    Carlini-Wagner adaptive-evaluation move; far beyond the reference):
+    the rec-error detector (eval/detect.py) thresholds the final
+    projection loss, so a detection-aware attacker must maximize
+    classification damage while keeping that statistic at clean levels.
+    rec_loss is the detector's exact statistic (tanh-space best-restart
+    MSE, defense/project.py::ReconstructionResult.loss).
+
+    Gradient of the penalty: exact mode differentiates res.loss through
+    the unrolled projection; bpda mode uses the BPDA of the statistic
+    itself — G(z*) held constant, d rec/dx = 2(x_tanh - G(z*))/D (the
+    same straight-through logic as the logits path).
+    """
+    from defensegan_tpu.attacks.fgsm import _xent
+    from defensegan_tpu.models.generator import from_image_space
+
+    fwd = _defended_forward(gan, cfg, rec_iters, grad_mode)
+
+    def attack_loss(x: jnp.ndarray, labels: jnp.ndarray,
+                    key: jax.Array) -> jnp.ndarray:
+        x_hat, res = fwd(x, key)
+        loss = _xent(logits_fn(x_hat), labels)
+        if rec_penalty:
+            if grad_mode == "exact":
+                rec = res.loss
+            else:
+                t_x = from_image_space(x)
+                t_hat = jax.lax.stop_gradient(from_image_space(res.x_hat))
+                d = (t_x - t_hat).astype(jnp.float32)
+                rec = jnp.mean(jnp.square(d),
+                               axis=tuple(range(1, d.ndim)))
+            loss = loss - rec_penalty * rec
+        return loss
+
+    return attack_loss
 
 
 def attack_batch_key(k_att: jax.Array, lo: int) -> jax.Array:

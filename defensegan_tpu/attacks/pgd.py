@@ -52,8 +52,13 @@ _INIT_FOLD = 2 ** 31 - 1
 
 def _pgd_machinery(logits_fn: LogitsFn, eps: float, eps_iter: float,
                    clip_min: float, clip_max: float, targeted: bool,
-                   keyed: bool, per_step_keys: bool):
+                   keyed: bool, per_step_keys: bool, loss_fn=None):
     """Shared step math for the fused and chunked drivers.
+
+    loss_fn (optional): per-example loss (x_adv, labels, key) -> [B] that
+    REPLACES the default cross-entropy through logits_fn — e.g. the
+    detection-aware attack loss (attacks/compose.py::make_attack_loss).
+    The ascent direction maximizes its mean.
 
     Returns (init, step):
       init(x, key)                     rand_init start point
@@ -61,6 +66,8 @@ def _pgd_machinery(logits_fn: LogitsFn, eps: float, eps_iter: float,
     """
 
     def loss(x_adv, labels, key):
+        if loss_fn is not None:
+            return jnp.mean(loss_fn(x_adv, labels, key))
         logits = logits_fn(x_adv, key) if keyed else logits_fn(x_adv)
         return jnp.mean(_xent(logits, labels))
 
@@ -90,18 +97,20 @@ def pgd(logits_fn: LogitsFn, x: jnp.ndarray, labels: jnp.ndarray,
         key: jax.Array = None, clip_min: float = 0.0,
         clip_max: float = 1.0, targeted: bool = False,
         rand_init: bool = True, keyed_logits: bool = False,
-        per_step_keys: bool = True) -> jnp.ndarray:
+        per_step_keys: bool = True, loss_fn=None) -> jnp.ndarray:
     """PGD as one fused program. Jit-compatible; call under jax.jit.
 
     labels: true labels (untargeted, default) or target labels
     (targeted=True). key is required when rand_init or keyed_logits.
+    loss_fn: optional per-example loss override (see _pgd_machinery) —
+    the key is threaded to it per per_step_keys when keyed_logits.
     """
     if (rand_init or keyed_logits) and key is None:
         raise ValueError("pgd needs a PRNG key when rand_init=True or "
                          "keyed_logits=True")
     init, step = _pgd_machinery(logits_fn, eps, eps_iter, clip_min,
                                 clip_max, targeted, keyed_logits,
-                                per_step_keys)
+                                per_step_keys, loss_fn=loss_fn)
     x_adv = init(x, key) if rand_init else x
 
     def body(xa, i):
@@ -117,18 +126,19 @@ def make_chunked_pgd(logits_fn: LogitsFn, eps: float, eps_iter: float,
                      clip_min: float = 0.0, clip_max: float = 1.0,
                      keyed_logits: bool = False,
                      per_step_keys: bool = True,
-                     verbose: bool = False):
+                     verbose: bool = False, loss_fn=None):
     """Build a chunked PGD attacker: returns attack(x, labels[, key]) -> adv.
 
-    Identical math to `pgd`, executed as a host-driven sequence of
-    scan(chunk_iters) device programs, each synchronized with a host fetch
-    so no device program runs unboundedly long (the TPU watchdog kills
-    multi-minute kernels). The chunk's start index is a traced argument,
-    so ONE compile serves all chunks of all same-shape batches.
+    Identical math to `pgd` (incl. the loss_fn override), executed as a
+    host-driven sequence of scan(chunk_iters) device programs, each
+    synchronized with a host fetch so no device program runs unboundedly
+    long (the TPU watchdog kills multi-minute kernels). The chunk's start
+    index is a traced argument, so ONE compile serves all chunks of all
+    same-shape batches.
     """
     init, step = _pgd_machinery(logits_fn, eps, eps_iter, clip_min,
                                 clip_max, targeted, keyed_logits,
-                                per_step_keys)
+                                per_step_keys, loss_fn=loss_fn)
     chunk = max(1, min(chunk_iters, nb_iter))
 
     @partial(jax.jit, static_argnames="n")

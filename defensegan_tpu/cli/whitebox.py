@@ -128,6 +128,13 @@ def main(argv=None):
                     "step — EOT-style, the right attack on the stochastic "
                     "defense; fixed pins one z0 draw for all steps, which "
                     "--eval_z0 both can then replay exactly")
+    ap.add_argument("--pgd_rec_penalty", type=float, default=0.0,
+                    help="DETECTION-AWARE adaptive attack: subtract this "
+                    "times the projection loss (the --detect statistic) "
+                    "from the PGD objective, so the attacker trades "
+                    "classification damage for staying under the "
+                    "rec-error detector (needs --attack_through_defense "
+                    "yes + --defense_type defense_gan)")
     ap.add_argument("--pgd_chunk_iters", type=int, default=0,
                     help="split the PGD loop into host-dispatched scan "
                     "chunks of this many steps (0 = auto: chunk when "
@@ -202,6 +209,13 @@ def main(argv=None):
         ap.error("--eval_z0 both needs a single attack z0 to replay, but "
                  "--pgd_z0 per_step draws fresh z0 every PGD step (EOT); "
                  "use --pgd_z0 fixed for the replay leg")
+    if args.pgd_rec_penalty and (args.attack_type != "pgd"
+                                 or args.defense_type != "defense_gan"
+                                 or args.attack_through_defense != "yes"):
+        ap.error("--pgd_rec_penalty penalizes the THROUGH-DEFENSE "
+                 "projection loss; it requires --attack_type pgd, "
+                 "--defense_type defense_gan, and "
+                 "--attack_through_defense yes")
     if args.detect and args.attack_type == "none":
         ap.error("--detect compares clean vs adversarial reconstruction "
                  "errors; it needs an --attack_type")
@@ -291,6 +305,13 @@ def main(argv=None):
                                  args.alpha, kn)
         elif args.attack_type == "pgd":
             per_step = args.pgd_z0 == "per_step"
+            pgd_loss = None
+            if args.pgd_rec_penalty:
+                from defensegan_tpu.attacks import make_attack_loss
+                pgd_loss = make_attack_loss(
+                    gan, logits_fn, cfg, rec_iters=attack_rec_iters,
+                    grad_mode=args.attack_grad,
+                    rec_penalty=args.pgd_rec_penalty)
             chunk = args.pgd_chunk_iters
             if chunk == 0:
                 # auto: through the defense each step pays a full L-step
@@ -308,7 +329,7 @@ def main(argv=None):
                     eps_iter=args.pgd_eps_iter, nb_iter=args.pgd_iters,
                     rand_init=args.pgd_rand_init, chunk_iters=chunk,
                     keyed_logits=through_defense, per_step_keys=per_step,
-                    verbose=through_defense)
+                    verbose=through_defense, loss_fn=pgd_loss)
 
                 def craft(xb, yb, k):
                     return chunked(xb, yb, k)
@@ -319,7 +340,7 @@ def main(argv=None):
                                args.pgd_eps_iter, args.pgd_iters, key=k,
                                rand_init=args.pgd_rand_init,
                                keyed_logits=through_defense,
-                               per_step_keys=per_step)
+                               per_step_keys=per_step, loss_fn=pgd_loss)
         else:  # cw
             cw_cfg = CWConfig(
                 binary_search_steps=args.cw_binary_search_steps,
@@ -473,6 +494,8 @@ def main(argv=None):
                           if args.attack_type == "pgd" else None),
         "pgd_z0": (args.pgd_z0 if args.attack_type == "pgd"
                    and through_defense else None),
+        "pgd_rec_penalty": (args.pgd_rec_penalty
+                            if args.attack_type == "pgd" else None),
         "attack_through_defense": args.attack_through_defense,
         "attack_grad": (args.attack_grad if through_defense else None),
         "attack_z0": ((("per_step" if args.attack_type == "pgd"
