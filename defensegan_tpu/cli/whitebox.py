@@ -182,7 +182,12 @@ def main(argv=None):
                     help="also report attack DETECTION by reconstruction "
                     "error (paper section 5.1): ROC AUC between the clean "
                     "and adversarial test sets' final projection losses, "
-                    "plus the detection rate at 5%% FPR")
+                    "the detection rate at 5%% FPR, the two-sided variant "
+                    "(|err - clean median|, robust to rec-penalty attacks "
+                    "that push errors BELOW clean), and the joint two-layer "
+                    "number: fraction of adversarial inputs both "
+                    "misclassified through the defense AND unflagged at "
+                    "5%% FPR")
     ap.add_argument("--results_dir", default="output/results")
     ap.add_argument("--save_images", action="store_true",
                     help="dump original|adversarial|purified grids into "
@@ -410,11 +415,13 @@ def main(argv=None):
 
     defended_acc = None
     defended_acc_attack_z0 = None
+    defended_correct_adv = None
     if args.defense_type == "defense_gan":
         t0 = time.time()
         with timer.phase("purify_classify_adv"):
-            defended_acc = model_eval_gan(gan, logits_fn, x_adv, y_test,
-                                          key=k_eval)
+            defended_acc, defended_correct_adv = model_eval_gan(
+                gan, logits_fn, x_adv, y_test, key=k_eval,
+                return_correct=True)
         print(f"adversarial accuracy, Defense-GAN (R={cfg.rec_rr}, "
               f"L={cfg.rec_iters}): {defended_acc:.4f} "
               f"[{time.time() - t0:.1f}s]")
@@ -450,10 +457,15 @@ def main(argv=None):
     # final projection loss separates clean from attacked; eval/detect.py)
     detection_auc = None
     detection_tpr_fpr05 = None
+    detection_auc_2s = None
+    detection_tpr_fpr05_2s = None
+    undetected_success = None
+    undetected_success_2s = None
     rec_err_clean = rec_err_adv = None
     if args.detect:
         from defensegan_tpu.eval import (reconstruction_errors, roc_auc,
-                                         tpr_at_fpr)
+                                         tpr_at_fpr, two_sided_scores,
+                                         undetected_success_rate)
 
         with timer.phase("detect"):
             # same base key for both passes => corresponding batches draw
@@ -466,10 +478,27 @@ def main(argv=None):
         detection_tpr_fpr05, _ = tpr_at_fpr(errs_clean, errs_adv, 0.05)
         rec_err_clean = float(errs_clean.mean())
         rec_err_adv = float(errs_adv.mean())
+        # two-sided statistic |err - clean median|: catches rec-penalty
+        # attacks (--pgd_rec_penalty) that push rec error BELOW clean
+        s_clean_2s = two_sided_scores(errs_clean, errs_clean)
+        s_adv_2s = two_sided_scores(errs_adv, errs_clean)
+        detection_auc_2s = roc_auc(s_clean_2s, s_adv_2s)
+        detection_tpr_fpr05_2s, _ = tpr_at_fpr(s_clean_2s, s_adv_2s, 0.05)
         print(f"attack detection by rec error: AUC {detection_auc:.4f}, "
               f"detection rate {detection_tpr_fpr05:.4f} @ 5% FPR "
               f"(mean rec err clean {rec_err_clean:.5f} vs adversarial "
-              f"{rec_err_adv:.5f})")
+              f"{rec_err_adv:.5f}); two-sided AUC {detection_auc_2s:.4f}, "
+              f"rate {detection_tpr_fpr05_2s:.4f}")
+        if defended_correct_adv is not None:
+            # the joint two-layer number: misclassified by the defended
+            # pipeline AND unflagged at 5% FPR (eval/detect.py)
+            undetected_success, _ = undetected_success_rate(
+                errs_clean, errs_adv, ~defended_correct_adv)
+            undetected_success_2s, _ = undetected_success_rate(
+                s_clean_2s, s_adv_2s, ~defended_correct_adv)
+            print(f"undetected successful attacks @ 5% FPR: "
+                  f"{undetected_success:.4f} one-sided / "
+                  f"{undetected_success_2s:.4f} two-sided")
 
     ensure_dir(args.results_dir)
     record = {
@@ -509,6 +538,10 @@ def main(argv=None):
         "defended_acc_attack_z0": defended_acc_attack_z0,
         "detection_auc": detection_auc,
         "detection_tpr_at_fpr05": detection_tpr_fpr05,
+        "detection_auc_two_sided": detection_auc_2s,
+        "detection_tpr_at_fpr05_two_sided": detection_tpr_fpr05_2s,
+        "undetected_success_rate": undetected_success,
+        "undetected_success_rate_two_sided": undetected_success_2s,
         "rec_err_clean_mean": rec_err_clean,
         "rec_err_adv_mean": rec_err_adv,
         "attack_time_s": round(attack_time, 2),

@@ -9,7 +9,9 @@ from defensegan_tpu.eval.classifier import (ClassifierState, make_logits_fn,
                                             train_classifier)
 from defensegan_tpu.eval.accuracy import model_eval, model_eval_gan
 from defensegan_tpu.eval.detect import (reconstruction_errors, roc_auc,
-                                        roc_points, tpr_at_fpr)
+                                        roc_points, tpr_at_fpr,
+                                        two_sided_scores,
+                                        undetected_success_rate)
 from defensegan_tpu.eval.quality import BF16_TIE_TAU, tie_aware_disagreement
 
 __all__ = [
@@ -17,6 +19,8 @@ __all__ = [
     "roc_auc",
     "roc_points",
     "tpr_at_fpr",
+    "two_sided_scores",
+    "undetected_success_rate",
     "ClassifierState",
     "make_logits_fn",
     "train_classifier",

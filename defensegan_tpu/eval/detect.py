@@ -108,3 +108,44 @@ def tpr_at_fpr(scores_neg: np.ndarray, scores_pos: np.ndarray,
         return 0.0, float("inf")
     i = int(np.argmax(tpr[ok]))
     return float(tpr[ok][i]), float(thr[ok][i])
+
+
+def two_sided_scores(errs: np.ndarray, clean_errs: np.ndarray) -> np.ndarray:
+    """Two-sided detection statistic: |rec_err - median(clean rec_err)|.
+
+    The one-sided detector ("adversarial = HIGH rec error", paper section
+    5.1) is blind to detection-aware attacks that spend their budget
+    pushing inputs ONTO the manifold: a PGD with a rec-error penalty
+    (whitebox --pgd_rec_penalty, queue S) produces rec errors BELOW the
+    clean distribution (flagship: 0.00026 adv vs 0.033 clean median) —
+    one-sided AUC goes to 0 while the examples remain wildly atypical.
+    Distance from the clean median catches both tails; the operator
+    calibrates on clean data only (median is a clean-distribution
+    statistic, available at deployment).
+    """
+    center = float(np.median(np.asarray(clean_errs, np.float64)))
+    return np.abs(np.asarray(errs, np.float64) - center)
+
+
+def undetected_success_rate(scores_clean: np.ndarray,
+                            scores_adv: np.ndarray,
+                            misclassified_adv: np.ndarray,
+                            max_fpr: float = 0.05) -> Tuple[float, float]:
+    """(joint rate, threshold): P(adv misclassified AND not detected).
+
+    The single number that says whether one attack beats BOTH defense
+    layers: threshold the detection scores at max_fpr on the clean set
+    (what an operator can calibrate), flag adv examples above it, and
+    count the fraction that are simultaneously misclassified by the
+    defended pipeline AND unflagged. 0.0 = the two layers jointly stop
+    every attack instance; an attacker tuning lambda (queue S) maximizes
+    this quantity.
+    """
+    scores_adv = np.asarray(scores_adv, np.float64)
+    mis = np.asarray(misclassified_adv, bool)
+    if scores_adv.shape != mis.shape:
+        raise ValueError("scores_adv and misclassified_adv must align "
+                         f"({scores_adv.shape} vs {mis.shape})")
+    thr = np.quantile(np.asarray(scores_clean, np.float64), 1.0 - max_fpr)
+    undetected = scores_adv <= thr
+    return float((mis & undetected).mean()), float(thr)

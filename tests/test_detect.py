@@ -16,7 +16,8 @@ sys.path.insert(0, ROOT)
 
 from defensegan_tpu.configs import Config  # noqa: E402
 from defensegan_tpu.eval import (reconstruction_errors, roc_auc,  # noqa: E402
-                                 roc_points, tpr_at_fpr)
+                                 roc_points, tpr_at_fpr, two_sided_scores,
+                                 undetected_success_rate)
 from defensegan_tpu.gan import DefenseGAN  # noqa: E402
 
 
@@ -58,6 +59,65 @@ def test_roc_points_and_tpr_at_fpr():
     # degenerate: all scores tie => nothing detectable at fpr 0
     rate0, _ = tpr_at_fpr(np.array([1.0]), np.array([1.0]), max_fpr=0.0)
     assert rate0 == 0.0
+
+
+def test_two_sided_catches_low_tail():
+    """A rec-penalty attack pushes errors BELOW clean: one-sided AUC
+    collapses to ~0 while the two-sided statistic stays near-perfect."""
+    rng = np.random.RandomState(2)
+    clean = 0.03 + 0.005 * rng.randn(300)
+    adv_low = np.full(100, 0.0003)  # queue-S flagship regime
+    assert roc_auc(clean, adv_low) < 0.05
+    s_clean = two_sided_scores(clean, clean)
+    s_adv = two_sided_scores(adv_low, clean)
+    assert roc_auc(s_clean, s_adv) > 0.95
+
+
+def test_two_sided_preserves_high_tail():
+    rng = np.random.RandomState(3)
+    clean = 0.03 + 0.005 * rng.randn(300)
+    adv_high = 0.12 + 0.01 * rng.randn(100)
+    s_clean = two_sided_scores(clean, clean)
+    s_adv = two_sided_scores(adv_high, clean)
+    assert roc_auc(s_clean, s_adv) > 0.99
+
+
+def test_undetected_success_rate_joint_logic():
+    clean = np.linspace(0.0, 1.0, 100)  # 5% FPR threshold = 0.95
+    adv = np.array([0.99, 0.99, 0.5, 0.5])     # detected, detected, no, no
+    mis = np.array([True, False, True, False])  # success, -, success, -
+    rate, thr = undetected_success_rate(clean, adv, mis, max_fpr=0.05)
+    # only adv[2] is both misclassified and under the threshold
+    assert rate == 0.25
+    assert 0.9 <= thr <= 1.0
+    # every success detected => joint rate 0 even though accuracy is 50%
+    rate0, _ = undetected_success_rate(clean, np.array([0.99, 0.5]),
+                                       np.array([True, False]))
+    assert rate0 == 0.0
+    with pytest.raises(ValueError):
+        undetected_success_rate(clean, adv, mis[:2])
+
+
+def test_model_eval_gan_return_correct():
+    from defensegan_tpu.eval import model_eval_gan
+
+    cfg = Config(type="mnist", gen_dim=4, latent_dim=8, disc_dim=4,
+                 rec_rr=2, rec_iters=2)
+    gan = DefenseGAN(cfg)
+    x = np.asarray(jax.random.uniform(jax.random.key(8), (5, 28, 28, 1)))
+    y = np.array([0, 1, 0, 1, 0])
+    logits_fn = lambda xb: jnp.stack(  # noqa: E731  predict class 0 always
+        [jnp.ones(xb.shape[0]), jnp.zeros(xb.shape[0])], -1)
+    acc, correct = model_eval_gan(gan, logits_fn, x, y, batch_size=4,
+                                  key=jax.random.key(9),
+                                  return_correct=True)
+    assert correct.shape == (5,) and correct.dtype == bool
+    assert np.array_equal(correct, y == 0)  # padding excluded
+    assert acc == correct.mean() == 0.6
+    # default path still returns the bare float
+    acc2 = model_eval_gan(gan, logits_fn, x, y, batch_size=4,
+                          key=jax.random.key(9))
+    assert acc2 == acc
 
 
 # ----------------------------------------------------- score extraction
