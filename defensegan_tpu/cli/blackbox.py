@@ -58,8 +58,17 @@ def main(argv=None):
                     help="train the target on Defense-GAN reconstructions "
                     "of the training set (reference --train_on_recs)")
     ap.add_argument("--num_rec_train", type=int, default=1024)
+    ap.add_argument("--detect", action="store_true",
+                    help="also report transfer-attack DETECTION by "
+                    "reconstruction error (same statistics as whitebox "
+                    "--detect: one/two-sided ROC AUC, detection rate at "
+                    "5%% FPR, and the joint misclassified-AND-unflagged "
+                    "rate; needs --defense_type defense_gan)")
     ap.add_argument("--results_dir", default="output/results")
     args = ap.parse_args(argv)
+    if args.detect and args.defense_type != "defense_gan":
+        ap.error("--detect scores inputs with the GAN projection loss — "
+                 "it needs --defense_type defense_gan")
     cfg = cfg_from_args(args)
 
     ds = load_data(cfg)
@@ -144,6 +153,7 @@ def main(argv=None):
 
     defended_acc = None
     clean_defended_acc = None
+    defended_correct_adv = None
     if args.defense_type == "adv_tr":
         defended_acc = adv_acc  # the defense is in the classifier weights
     if args.defense_type == "defense_gan":
@@ -153,10 +163,45 @@ def main(argv=None):
         print(f"target accuracy on purified CLEAN inputs: "
               f"{clean_defended_acc:.4f}")
         with timer.phase("purify_classify_adv"):
-            defended_acc = model_eval_gan(gan, bb_logits, x_adv, y_eval,
-                                          key=k_eval)
+            defended_acc, defended_correct_adv = model_eval_gan(
+                gan, bb_logits, x_adv, y_eval, key=k_eval,
+                return_correct=True)
         print(f"target accuracy under FGSM, Defense-GAN (R={cfg.rec_rr}, "
               f"L={cfg.rec_iters}): {defended_acc:.4f}")
+
+    # --- transfer-attack detection by reconstruction error (mirrors
+    # whitebox --detect; eval/detect.py)
+    detection_auc = detection_tpr_fpr05 = None
+    detection_auc_2s = detection_tpr_fpr05_2s = None
+    undetected_success = undetected_success_2s = None
+    rec_err_clean = rec_err_adv = None
+    if args.detect:
+        from defensegan_tpu.eval import (reconstruction_errors, roc_auc,
+                                         tpr_at_fpr, two_sided_scores,
+                                         undetected_success_rate)
+
+        with timer.phase("detect"):
+            # paired restart keys for the clean/adv passes (same base key)
+            k_det = jax.random.fold_in(k_eval, 555)
+            errs_clean = reconstruction_errors(gan, x_eval, key=k_det)
+            errs_adv = reconstruction_errors(gan, x_adv, key=k_det)
+        detection_auc = roc_auc(errs_clean, errs_adv)
+        detection_tpr_fpr05, _ = tpr_at_fpr(errs_clean, errs_adv, 0.05)
+        rec_err_clean = float(errs_clean.mean())
+        rec_err_adv = float(errs_adv.mean())
+        s_clean_2s = two_sided_scores(errs_clean, errs_clean)
+        s_adv_2s = two_sided_scores(errs_adv, errs_clean)
+        detection_auc_2s = roc_auc(s_clean_2s, s_adv_2s)
+        detection_tpr_fpr05_2s, _ = tpr_at_fpr(s_clean_2s, s_adv_2s, 0.05)
+        undetected_success, _ = undetected_success_rate(
+            errs_clean, errs_adv, ~defended_correct_adv)
+        undetected_success_2s, _ = undetected_success_rate(
+            s_clean_2s, s_adv_2s, ~defended_correct_adv)
+        print(f"transfer-attack detection by rec error: AUC "
+              f"{detection_auc:.4f} (two-sided {detection_auc_2s:.4f}), "
+              f"detection rate {detection_tpr_fpr05:.4f} @ 5% FPR; "
+              f"undetected successful attacks {undetected_success:.4f} "
+              f"one-sided / {undetected_success_2s:.4f} two-sided")
 
     ensure_dir(args.results_dir)
     record = {
@@ -170,6 +215,14 @@ def main(argv=None):
         "clean_acc": clean_acc, "sub_agreement": agree,
         "clean_defended_acc": clean_defended_acc,
         "adv_acc_no_defense": adv_acc, "defended_acc": defended_acc,
+        "detection_auc": detection_auc,
+        "detection_tpr_at_fpr05": detection_tpr_fpr05,
+        "detection_auc_two_sided": detection_auc_2s,
+        "detection_tpr_at_fpr05_two_sided": detection_tpr_fpr05_2s,
+        "undetected_success_rate": undetected_success,
+        "undetected_success_rate_two_sided": undetected_success_2s,
+        "rec_err_clean_mean": rec_err_clean,
+        "rec_err_adv_mean": rec_err_adv,
         "phases": timer.summary(),
     }
     print(f"phase breakdown: {timer}")

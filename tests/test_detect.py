@@ -160,3 +160,11 @@ def test_whitebox_detect_requires_attack():
         whitebox.main(["--attack_type", "none", "--defense_type", "none",
                        "--detect"])
     assert ex.value.code == 2
+
+
+def test_blackbox_detect_requires_defense_gan():
+    from defensegan_tpu.cli import blackbox
+
+    with pytest.raises(SystemExit) as ex:
+        blackbox.main(["--defense_type", "none", "--detect"])
+    assert ex.value.code == 2
