@@ -10,10 +10,13 @@ from defensegan_tpu.defense.project import (
     make_reconstructor,
     sample_z0,
 )
+from defensegan_tpu.defense.pipeline import DefendedPipeline, PipelineResult
 
 __all__ = [
     "ReconstructionResult",
     "reconstruct",
     "make_reconstructor",
     "sample_z0",
+    "DefendedPipeline",
+    "PipelineResult",
 ]

@@ -1,0 +1,141 @@
+"""Defense-in-depth serving pipeline: purify -> classify -> flag.
+
+The round-3 measurements (RESULTS.md, queues O-T) show the two defense
+layers are complementary: PGD-class attacks zero the purifier but are
+perfectly detected (AUC 1.000); CW-class attacks evade detection
+(0.69-0.83 AUC) but are purified (0.87-1.00 defended); and a
+detection-aware attacker who ducks under the detector gives back most of
+the classification damage. Deployment therefore wants BOTH layers on
+every input — this module is that object.
+
+The reference (kabkabm/defensegan) has no serving surface at all: its
+whitebox.py evaluates accuracy and the paper's section-5.1 detector was
+never shipped. Here the two layers share ONE projection pass per input
+(the reconstruction that purifies is the same computation whose final
+loss is the detection statistic), so detection is free at serving time —
+whereas the eval CLIs, which keep clean/adv scoring paired, pay it
+separately.
+
+Usage:
+    pipe = DefendedPipeline(gan, logits_fn, fpr=0.05)
+    pipe.calibrate(x_clean_heldout, key)      # clean rec-err quantiles
+    out = pipe.predict(x, key)                # PipelineResult
+    out.pred     # [N] int class predictions (on purified inputs)
+    out.flagged  # [N] bool — rec error atypical vs the clean calibration
+    out.rec_err  # [N] float32 detection statistic
+
+Detector choices: "two_sided" (default; |err - clean median| — robust to
+rec-penalty attacks that push errors BELOW clean, eval/detect.py) or
+"one_sided" (the paper's "adversarial = high rec error").
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class PipelineResult(NamedTuple):
+    pred: np.ndarray      # [N] int32 argmax class on the purified input
+    flagged: np.ndarray   # [N] bool detection decision (True = reject)
+    rec_err: np.ndarray   # [N] float final projection loss (the statistic)
+
+
+class DefendedPipeline:
+    """Calibrated purify+classify+detect over a trained DefenseGAN.
+
+    gan: DefenseGAN with loaded weights. logits_fn: classifier on [0,1]
+    NHWC images. fpr: target false-positive rate the clean calibration
+    set is thresholded at. detector: "two_sided" | "one_sided".
+
+    rec_* / kernel overrides pass straight to gan.reconstruct (the full
+    override set, same semantics as eval/accuracy.py::model_eval_gan).
+    """
+
+    def __init__(self, gan, logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
+                 fpr: float = 0.05, detector: str = "two_sided",
+                 rec_rr: Optional[int] = None,
+                 rec_iters: Optional[int] = None,
+                 rec_lr: Optional[float] = None,
+                 rec_kernel: Optional[str] = None):
+        if detector not in ("two_sided", "one_sided"):
+            raise ValueError(f"unknown detector {detector!r}")
+        if not 0.0 < fpr < 1.0:
+            raise ValueError(f"fpr must be in (0, 1), got {fpr}")
+        self.gan = gan
+        self.logits_fn = logits_fn
+        self.fpr = float(fpr)
+        self.detector = detector
+        self._rec = dict(rec_rr=rec_rr, rec_iters=rec_iters, rec_lr=rec_lr,
+                         kernel=rec_kernel)
+        self._center: Optional[float] = None      # clean rec-err median
+        self._threshold: Optional[float] = None   # detector score cutoff
+
+        @jax.jit
+        def _pred(x_hat):
+            return jnp.argmax(logits_fn(x_hat), axis=-1)
+
+        self._pred = _pred
+
+    # ------------------------------------------------------------ internals
+    def _scores(self, errs: np.ndarray) -> np.ndarray:
+        if self.detector == "two_sided":
+            return np.abs(errs - self._center)
+        return errs
+
+    def _run(self, x: np.ndarray, key: jax.Array,
+             batch_size: Optional[int]):
+        """One shared projection pass: (preds, rec_errs) per example."""
+        n = x.shape[0]
+        if batch_size is None:
+            batch_size = min(1024, ((n + 255) // 256) * 256)
+        preds, errs = [], []
+        for lo in range(0, n, batch_size):
+            xb = x[lo:lo + batch_size]
+            pad = batch_size - xb.shape[0]
+            if pad:
+                xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:],
+                                                  xb.dtype)])
+            key, k = jax.random.split(key)
+            res = self.gan.reconstruct(jnp.asarray(xb), k, **self._rec)
+            m = batch_size - pad
+            preds.append(np.asarray(self._pred(res.x_hat))[:m])
+            errs.append(np.asarray(res.loss, np.float64)[:m])
+        return np.concatenate(preds), np.concatenate(errs)
+
+    # ------------------------------------------------------------ public
+    def calibrate(self, x_clean: np.ndarray,
+                  key: Optional[jax.Array] = None,
+                  batch_size: Optional[int] = None) -> "DefendedPipeline":
+        """Fit the detection threshold on held-out CLEAN data.
+
+        Stores the clean rec-err median (two-sided center) and the
+        (1 - fpr) quantile of the detector scores — everything an
+        operator can measure at deployment without any attack data.
+        Returns self (chainable).
+        """
+        key = key if key is not None else jax.random.key(0)
+        _, errs = self._run(np.asarray(x_clean), key, batch_size)
+        self._center = float(np.median(errs))
+        self._threshold = float(np.quantile(self._scores(errs),
+                                            1.0 - self.fpr))
+        return self
+
+    @property
+    def calibrated(self) -> bool:
+        return self._threshold is not None
+
+    def predict(self, x: np.ndarray, key: Optional[jax.Array] = None,
+                batch_size: Optional[int] = None) -> PipelineResult:
+        """Purify, classify, and flag — one projection pass per input."""
+        if not self.calibrated:
+            raise RuntimeError("call calibrate(x_clean) before predict() — "
+                               "the detector threshold is fit on clean data")
+        key = key if key is not None else jax.random.key(1)
+        preds, errs = self._run(np.asarray(x), key, batch_size)
+        flagged = self._scores(errs) > self._threshold
+        return PipelineResult(pred=preds.astype(np.int32), flagged=flagged,
+                              rec_err=errs.astype(np.float32))

@@ -1,0 +1,108 @@
+"""Defense-in-depth serving pipeline (defense/pipeline.py): calibrated
+purify+classify+flag with ONE shared projection pass per input. No
+reference equivalent (kabkabm/defensegan ships no serving surface) —
+these tests are the spec."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from defensegan_tpu.configs import Config  # noqa: E402
+from defensegan_tpu.defense import DefendedPipeline  # noqa: E402
+from defensegan_tpu.gan import DefenseGAN  # noqa: E402
+
+
+def _tiny_gan():
+    cfg = Config(type="mnist", gen_dim=4, latent_dim=8, disc_dim=4,
+                 rec_rr=2, rec_iters=5)
+    return DefenseGAN(cfg)
+
+
+def _logits_fn(xb):
+    # deterministic 2-class head: mean brightness split
+    m = jnp.mean(xb, axis=(1, 2, 3))
+    return jnp.stack([1.0 - m, m], -1)
+
+
+def test_pipeline_requires_calibration_and_validates_args():
+    gan = _tiny_gan()
+    with pytest.raises(ValueError):
+        DefendedPipeline(gan, _logits_fn, detector="bogus")
+    with pytest.raises(ValueError):
+        DefendedPipeline(gan, _logits_fn, fpr=0.0)
+    pipe = DefendedPipeline(gan, _logits_fn)
+    assert not pipe.calibrated
+    with pytest.raises(RuntimeError):
+        pipe.predict(np.zeros((2, 28, 28, 1), np.float32))
+
+
+def test_pipeline_flags_off_manifold_and_passes_clean():
+    gan = _tiny_gan()
+    # "clean" = what the generator can produce; "adversarial" = noise
+    x_clean = np.asarray(gan.generate(jax.random.key(0), 24))
+    x_cal = np.asarray(gan.generate(jax.random.key(1), 24))
+    x_off = np.asarray(jax.random.uniform(jax.random.key(2),
+                                          (8, 28, 28, 1)))
+    pipe = DefendedPipeline(gan, _logits_fn, fpr=0.25).calibrate(
+        x_cal, key=jax.random.key(3), batch_size=8)
+    assert pipe.calibrated
+    out_clean = pipe.predict(x_clean, key=jax.random.key(4), batch_size=8)
+    out_off = pipe.predict(x_off, key=jax.random.key(4), batch_size=8)
+    # shapes/dtypes
+    assert out_clean.pred.shape == (24,) and out_clean.pred.dtype == np.int32
+    assert out_clean.flagged.dtype == bool
+    assert np.isfinite(out_clean.rec_err).all()
+    # clean flag rate near the calibrated fpr; noise flagged far more
+    assert out_clean.flagged.mean() <= 0.5
+    assert out_off.flagged.mean() >= 0.75
+    assert out_off.rec_err.mean() > out_clean.rec_err.mean()
+
+
+def test_pipeline_one_projection_pass_per_batch():
+    gan = _tiny_gan()
+    calls = {"n": 0}
+    orig = gan.reconstruct
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    gan.reconstruct = counting
+    x = np.asarray(jax.random.uniform(jax.random.key(5), (10, 28, 28, 1)))
+    pipe = DefendedPipeline(gan, _logits_fn, fpr=0.1).calibrate(
+        x, key=jax.random.key(6), batch_size=4)
+    assert calls["n"] == 3  # ceil(10/4) — calibration cost
+    calls["n"] = 0
+    out = pipe.predict(x, key=jax.random.key(7), batch_size=4)
+    # detection came FREE: 3 batches => 3 reconstructs total, not 6
+    assert calls["n"] == 3
+    assert out.pred.shape == out.flagged.shape == out.rec_err.shape == (10,)
+
+
+def test_pipeline_two_sided_catches_low_tail():
+    """An input far MORE on-manifold than calibration data is flagged by
+    the two-sided detector and missed by the one-sided one."""
+    gan = _tiny_gan()
+    # calibrate on noisy images (moderate rec err); probe with exact
+    # generator samples (near-zero rec err => low tail)
+    rng = np.random.RandomState(0)
+    x_cal = np.clip(np.asarray(gan.generate(jax.random.key(8), 24))
+                    + 0.25 * rng.rand(24, 28, 28, 1).astype(np.float32),
+                    0.0, 1.0)
+    x_low = np.asarray(gan.generate(jax.random.key(9), 8))
+    two = DefendedPipeline(gan, _logits_fn, fpr=0.1).calibrate(
+        x_cal, key=jax.random.key(10), batch_size=8)
+    one = DefendedPipeline(gan, _logits_fn, fpr=0.1,
+                           detector="one_sided").calibrate(
+        x_cal, key=jax.random.key(10), batch_size=8)
+    f2 = two.predict(x_low, key=jax.random.key(11), batch_size=8).flagged
+    f1 = one.predict(x_low, key=jax.random.key(11), batch_size=8).flagged
+    assert f2.mean() > f1.mean()
+    assert f1.mean() <= 0.25  # one-sided is blind to the low tail
