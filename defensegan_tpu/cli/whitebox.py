@@ -189,6 +189,11 @@ def main(argv=None):
                     "misclassified through the defense AND unflagged at "
                     "5%% FPR")
     ap.add_argument("--results_dir", default="output/results")
+    ap.add_argument("--save_adv", default=None, metavar="PATH.npz",
+                    help="save the crafted adversarial set (x_adv, y, "
+                    "x_clean, attack meta) for downstream experiments "
+                    "(e.g. scripts/pipeline_exp.py serving-pipeline "
+                    "evaluation) — crafting stays single-sourced here")
     ap.add_argument("--save_images", action="store_true",
                     help="dump original|adversarial|purified grids into "
                     "results_dir (reference: utils/visualize.py dumps)")
@@ -393,6 +398,19 @@ def main(argv=None):
     timer.record("attack", attack_time)
     print(f"crafted {args.attack_type} adversarial examples in "
           f"{attack_time:.1f}s")
+
+    if args.save_adv:
+        ensure_dir(os.path.dirname(args.save_adv) or ".")
+        np.savez(args.save_adv, x_adv=x_adv, y=y_test, x_clean=x_test,
+                 meta=json.dumps({
+                     "dataset": cfg.type, "attack": args.attack_type,
+                     "fgsm_eps": args.fgsm_eps,
+                     "attack_grad": (args.attack_grad if through_defense
+                                     else None),
+                     "pgd_rec_penalty": (args.pgd_rec_penalty
+                                         if args.attack_type == "pgd"
+                                         else None)}))
+        print(f"saved adversarial set to {args.save_adv}")
 
     with timer.phase("adv_eval"):
         adv_acc = model_eval(logits_fn, x_adv, y_test)

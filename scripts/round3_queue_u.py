@@ -17,6 +17,12 @@ statistic (CW errors sit just above clean — distance-from-median halves
 the margin for examples near the center)? And is any paper-era attack's
 joint undetected-success materially above 0?
 
+Final steps exercise the SERVING surface: the digits whitebox cells save
+their adversarial sets (--save_adv), four attack classes (FGSM, CW,
+EOT-PGD, detection-aware PGD lambda=30) then run through the calibrated
+DefendedPipeline (scripts/pipeline_exp.py) — flag rate, accuracy on
+unflagged, undetected-success, per set.
+
 Run: python scripts/round3_queue_u.py  (cwd=/root/repo)
 """
 
@@ -47,11 +53,41 @@ def _wb(cfg_dir, attack, extra=(), batch="128"):
 
 
 def step_d2_digits_fgsm():
-    _wb("output/gans/digits", "fgsm", ("--fgsm_eps", "0.1"))
+    _wb("output/gans/digits", "fgsm",
+        ("--fgsm_eps", "0.1", "--save_adv", "output/advsets/digits_fgsm.npz"))
 
 
 def step_d2_digits_cw():
-    _wb("output/gans/digits", "cw", CW)
+    _wb("output/gans/digits", "cw",
+        CW + ("--save_adv", "output/advsets/digits_cw.npz"))
+
+
+def _pgd_digits_save(lam, path):
+    _wb("output/gans/digits", "pgd",
+        ("--fgsm_eps", "0.1", "--pgd_iters", "40", "--pgd_eps_iter", "0.01",
+         "--attack_grad", "bpda", "--pgd_rec_penalty", str(lam),
+         "--save_adv", path))
+
+
+def step_d2_digits_pgd0():
+    _pgd_digits_save(0, "output/advsets/digits_pgd.npz")
+
+
+def step_d2_digits_pgd30():
+    _pgd_digits_save(30, "output/advsets/digits_pgd_pen30.npz")
+
+
+def step_pipeline_digits():
+    # serving-surface evaluation over the four saved sets
+    import runpy
+    sys.argv = ["pipeline_exp.py", "--cfg", "output/gans/digits",
+                "--model", "A", "--sets",
+                "output/advsets/digits_fgsm.npz",
+                "output/advsets/digits_cw.npz",
+                "output/advsets/digits_pgd.npz",
+                "output/advsets/digits_pgd_pen30.npz"]
+    runpy.run_path(os.path.join(ROOT, "scripts", "pipeline_exp.py"),
+                   run_name="__main__")
 
 
 def step_d2_flagship_fgsm():
@@ -88,11 +124,14 @@ def step_d2_blackbox_digits():
 STEPS = [
     ("d2_digits_fgsm", step_d2_digits_fgsm),
     ("d2_digits_cw", step_d2_digits_cw),
+    ("d2_digits_pgd0", step_d2_digits_pgd0),
+    ("d2_digits_pgd30", step_d2_digits_pgd30),
     ("d2_flagship_fgsm", step_d2_flagship_fgsm),
     ("d2_flagship_cw", step_d2_flagship_cw),
     ("d2_fmnist_fgsm", step_d2_fmnist_fgsm),
     ("d2_celeba_wide_fgsm", step_d2_celeba_wide_fgsm),
     ("d2_blackbox_digits", step_d2_blackbox_digits),
+    ("pipeline_digits", step_pipeline_digits),
 ]
 
 
