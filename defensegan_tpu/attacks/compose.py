@@ -94,13 +94,14 @@ def _defended_forward(gan, cfg, rec_iters, grad_mode):
 def make_attack_loss(gan, logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
                      cfg, rec_iters: Optional[int] = None,
                      grad_mode: str = "exact", rec_penalty: float = 0.0,
+                     rec_center: Optional[float] = None,
                      ) -> Callable[[jnp.ndarray, jnp.ndarray, jax.Array],
                                    jnp.ndarray]:
     """Per-example attack loss through the defense, for loss-driven
     attackers (PGD's loss_fn hook):
 
         loss(x, labels, key) = xent(classifier(G(z*)), labels)
-                               - rec_penalty * rec_loss(x)          [B]
+                               - rec_penalty * penalty(rec_loss(x))  [B]
 
     rec_penalty > 0 is the DETECTION-AWARE adaptive attack (the
     Carlini-Wagner adaptive-evaluation move; far beyond the reference):
@@ -109,6 +110,14 @@ def make_attack_loss(gan, logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
     classification damage while keeping that statistic at clean levels.
     rec_loss is the detector's exact statistic (tanh-space best-restart
     MSE, defense/project.py::ReconstructionResult.loss).
+
+    rec_center=None targets the ONE-SIDED detector: penalty = rec (push
+    rec error down). But queue S showed that over-shooting makes rec err
+    drop 100x BELOW clean — itself a signature the two-sided detector
+    (|rec - clean median|) catches. rec_center=c is the attacker's
+    counter to THAT: penalty = (rec - c)^2 steers the statistic TO the
+    clean median instead of past it (the attacker knows the detector,
+    so c = the published calibration center).
 
     Gradient of the penalty: exact mode differentiates res.loss through
     the unrolled projection; bpda mode uses the BPDA of the statistic
@@ -133,7 +142,8 @@ def make_attack_loss(gan, logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
                 d = (t_x - t_hat).astype(jnp.float32)
                 rec = jnp.mean(jnp.square(d),
                                axis=tuple(range(1, d.ndim)))
-            loss = loss - rec_penalty * rec
+            pen = rec if rec_center is None else jnp.square(rec - rec_center)
+            loss = loss - rec_penalty * pen
         return loss
 
     return attack_loss

@@ -135,6 +135,13 @@ def main(argv=None):
                     "classification damage for staying under the "
                     "rec-error detector (needs --attack_through_defense "
                     "yes + --defense_type defense_gan)")
+    ap.add_argument("--pgd_rec_center", type=float, default=None,
+                    metavar="C",
+                    help="with --pgd_rec_penalty: penalize (rec_loss - C)^2 "
+                    "instead of rec_loss — the attacker's counter to the "
+                    "TWO-SIDED detector (steer the statistic TO the clean "
+                    "median C rather than past it; the white-box attacker "
+                    "knows the detector's calibration)")
     ap.add_argument("--pgd_chunk_iters", type=int, default=0,
                     help="split the PGD loop into host-dispatched scan "
                     "chunks of this many steps (0 = auto: chunk when "
@@ -226,6 +233,9 @@ def main(argv=None):
                  "projection loss; it requires --attack_type pgd, "
                  "--defense_type defense_gan, and "
                  "--attack_through_defense yes")
+    if args.pgd_rec_center is not None and not args.pgd_rec_penalty:
+        ap.error("--pgd_rec_center shapes the --pgd_rec_penalty term; "
+                 "set a nonzero --pgd_rec_penalty")
     if args.detect and args.attack_type == "none":
         ap.error("--detect compares clean vs adversarial reconstruction "
                  "errors; it needs an --attack_type")
@@ -321,7 +331,8 @@ def main(argv=None):
                 pgd_loss = make_attack_loss(
                     gan, logits_fn, cfg, rec_iters=attack_rec_iters,
                     grad_mode=args.attack_grad,
-                    rec_penalty=args.pgd_rec_penalty)
+                    rec_penalty=args.pgd_rec_penalty,
+                    rec_center=args.pgd_rec_center)
             chunk = args.pgd_chunk_iters
             if chunk == 0:
                 # auto: through the defense each step pays a full L-step
@@ -543,6 +554,8 @@ def main(argv=None):
                    and through_defense else None),
         "pgd_rec_penalty": (args.pgd_rec_penalty
                             if args.attack_type == "pgd" else None),
+        "pgd_rec_center": (args.pgd_rec_center
+                           if args.attack_type == "pgd" else None),
         "attack_through_defense": args.attack_through_defense,
         "attack_grad": (args.attack_grad if through_defense else None),
         "attack_z0": ((("per_step" if args.attack_type == "pgd"

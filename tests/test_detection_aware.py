@@ -88,6 +88,32 @@ def test_bpda_penalty_gradient_is_straight_through_statistic():
                                rtol=1e-4, atol=1e-6)
 
 
+def test_centered_penalty_targets_the_clean_median():
+    """rec_center=c switches the penalty to (rec - c)^2 — the counter to
+    the two-sided detector: minimized AT the center, not below it."""
+    cfg, gan, logits_fn, x, labels, key = _setup()
+    lam, c = 3.0, 0.05
+    l0 = make_attack_loss(gan, logits_fn, cfg)(x, labels, key)
+    lc = make_attack_loss(gan, logits_fn, cfg, rec_penalty=lam,
+                          rec_center=c)(x, labels, key)
+    rec = np.asarray(_manual_res(cfg, gan, x, key).loss)
+    np.testing.assert_allclose(np.asarray(l0 - lc), lam * (rec - c) ** 2,
+                               rtol=1e-4, atol=1e-6)
+    # at rec == c the centered penalty vanishes (attack loss == xent)
+    lc_at = make_attack_loss(gan, logits_fn, cfg, rec_penalty=lam,
+                             rec_center=float(rec[0]))(x, labels, key)
+    assert abs(float(lc_at[0] - l0[0])) < 1e-5
+
+
+def test_cli_guard_center_requires_penalty():
+    from defensegan_tpu.cli import whitebox
+    with pytest.raises(SystemExit) as ex:
+        whitebox.main(["--attack_type", "pgd",
+                       "--defense_type", "defense_gan",
+                       "--pgd_rec_center", "0.002"])
+    assert ex.value.code == 2
+
+
 def test_pgd_with_penalized_loss_runs_and_stays_in_ball():
     cfg, gan, logits_fn, x, labels, key = _setup()
     loss = make_attack_loss(gan, logits_fn, cfg, grad_mode="bpda",
