@@ -40,7 +40,8 @@ from defensegan_tpu.utils.profiling import PhaseTimer
 def get_classifier(cfg, args, gan, x_train, y_train, key):
     """Train (or load cached) classifier; reference trains per run unless a
     saved model exists. Supports --train_on_recs and adv_tr."""
-    from defensegan_tpu.ckpt import latest_step, restore_checkpoint, save_checkpoint
+    from defensegan_tpu.ckpt import save_checkpoint
+    from defensegan_tpu.eval.classifier import load_cached_classifier
 
     model = build_classifier(args.model, num_classes=cfg.num_classes)
     tag = f"{cfg.type}_model{args.model}"
@@ -50,13 +51,11 @@ def get_classifier(cfg, args, gan, x_train, y_train, key):
         tag += "_on_recs"
     clf_dir = os.path.join("output", "classifiers", tag)
 
-    if latest_step(clf_dir) is not None and not args.retrain_classifier:
-        params0 = model.init(key, jnp.zeros((1,) + cfg.image_shape),
-                             train=False)["params"]
-        params = restore_checkpoint(clf_dir, params0)
-        print(f"loaded classifier {tag}")
-        from defensegan_tpu.eval.classifier import ClassifierState
-        return ClassifierState(params=params, model=model)
+    if not args.retrain_classifier:
+        cached = load_cached_classifier(tag, model, cfg.image_shape)
+        if cached is not None:
+            print(f"loaded classifier {tag}")
+            return cached
 
     x_fit, y_fit = x_train, y_train
     if args.train_on_recs:
@@ -412,15 +411,23 @@ def main(argv=None):
 
     if args.save_adv:
         ensure_dir(os.path.dirname(args.save_adv) or ".")
+        meta = {"dataset": cfg.type, "attack": args.attack_type,
+                "attack_grad": (args.attack_grad if through_defense
+                                else None),
+                "attack_through_defense": args.attack_through_defense}
+        if args.attack_type in ("fgsm", "rand_fgsm", "pgd"):
+            meta["fgsm_eps"] = args.fgsm_eps
+        if args.attack_type == "pgd":
+            meta.update(pgd_iters=args.pgd_iters,
+                        pgd_eps_iter=args.pgd_eps_iter,
+                        pgd_z0=args.pgd_z0,
+                        pgd_rec_penalty=args.pgd_rec_penalty,
+                        pgd_rec_center=args.pgd_rec_center)
+        if args.attack_type == "cw":
+            meta.update(cw_max_iterations=args.cw_max_iterations,
+                        cw_binary_search_steps=args.cw_binary_search_steps)
         np.savez(args.save_adv, x_adv=x_adv, y=y_test, x_clean=x_test,
-                 meta=json.dumps({
-                     "dataset": cfg.type, "attack": args.attack_type,
-                     "fgsm_eps": args.fgsm_eps,
-                     "attack_grad": (args.attack_grad if through_defense
-                                     else None),
-                     "pgd_rec_penalty": (args.pgd_rec_penalty
-                                         if args.attack_type == "pgd"
-                                         else None)}))
+                 meta=json.dumps(meta))
         print(f"saved adversarial set to {args.save_adv}")
 
     with timer.phase("adv_eval"):
@@ -520,7 +527,10 @@ def main(argv=None):
               f"rate {detection_tpr_fpr05_2s:.4f}")
         if defended_correct_adv is not None:
             # the joint two-layer number: misclassified by the defended
-            # pipeline AND unflagged at 5% FPR (eval/detect.py)
+            # pipeline AND unflagged at 5% FPR. Cross-pass estimate —
+            # correctness from the eval pass, flags from the paired
+            # detect pass (see undetected_success_rate docstring); the
+            # single-pass serving number is DefendedPipeline's.
             undetected_success, _ = undetected_success_rate(
                 errs_clean, errs_adv, ~defended_correct_adv)
             undetected_success_2s, _ = undetected_success_rate(

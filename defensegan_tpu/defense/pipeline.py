@@ -70,7 +70,7 @@ class DefendedPipeline:
         self.fpr = float(fpr)
         self.detector = detector
         self._rec = dict(rec_rr=rec_rr, rec_iters=rec_iters, rec_lr=rec_lr,
-                         kernel=rec_kernel)
+                         rec_kernel=rec_kernel)
         self._center: Optional[float] = None      # clean rec-err median
         self._threshold: Optional[float] = None   # detector score cutoff
 
@@ -88,22 +88,18 @@ class DefendedPipeline:
 
     def _run(self, x: np.ndarray, key: jax.Array,
              batch_size: Optional[int]):
-        """One shared projection pass: (preds, rec_errs) per example."""
-        n = x.shape[0]
-        if batch_size is None:
-            batch_size = min(1024, ((n + 255) // 256) * 256)
+        """One shared projection pass: (preds, rec_errs) per example.
+
+        Batching/padding/keys ride eval/accuracy.py::batched_reconstruct
+        — the same loop the offline eval and detector use."""
+        from defensegan_tpu.eval.accuracy import batched_reconstruct
+
         preds, errs = [], []
-        for lo in range(0, n, batch_size):
-            xb = x[lo:lo + batch_size]
-            pad = batch_size - xb.shape[0]
-            if pad:
-                xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:],
-                                                  xb.dtype)])
-            key, k = jax.random.split(key)
-            res = self.gan.reconstruct(jnp.asarray(xb), k, **self._rec)
-            m = batch_size - pad
-            preds.append(np.asarray(self._pred(res.x_hat))[:m])
-            errs.append(np.asarray(res.loss, np.float64)[:m])
+        for res, lo, hi in batched_reconstruct(self.gan, x, key=key,
+                                               batch_size=batch_size,
+                                               **self._rec):
+            preds.append(np.asarray(self._pred(res.x_hat))[:hi - lo])
+            errs.append(np.asarray(res.loss, np.float64)[:hi - lo])
         return np.concatenate(preds), np.concatenate(errs)
 
     # ------------------------------------------------------------ public

@@ -23,6 +23,50 @@ def _batches(n: int, batch_size: int):
         yield i, min(i + batch_size, n)
 
 
+def batched_reconstruct(gan, x: np.ndarray,
+                        key: Optional[jax.Array] = None,
+                        batch_size: Optional[int] = None,
+                        rec_rr: Optional[int] = None,
+                        rec_iters: Optional[int] = None,
+                        rec_lr: Optional[float] = None,
+                        rec_kernel: Optional[str] = None,
+                        key_fn: Optional[Callable[[int], jax.Array]] = None):
+    """Yield (res, lo, hi) reconstruction batches over x — THE
+    batching/padding/key semantics for every defended consumer
+    (model_eval_gan here, eval/detect.py::reconstruction_errors,
+    defense/pipeline.py::DefendedPipeline), factored so they cannot
+    drift:
+
+    - batch_size None picks min(1024, n rounded up to 256): wide
+      batch x restarts for full MXU tiles / Pallas grids, few dispatches;
+    - the last partial batch is zero-padded to the compiled static shape
+      — slice per-example fields of `res` with [: hi - lo] to drop the
+      padding;
+    - the restart-init key for the batch at offset lo is key_fn(lo) when
+      given (exact attack-z0 replay) else a fresh split of `key`;
+    - rec_* / rec_kernel pass through to gan.reconstruct (full override
+      set).
+    """
+    key = key if key is not None else jax.random.key(0)
+    n = x.shape[0]
+    if batch_size is None:
+        batch_size = min(1024, ((n + 255) // 256) * 256)
+    for lo, hi in _batches(n, batch_size):
+        xb = x[lo:hi]
+        pad = batch_size - xb.shape[0]
+        if pad:
+            xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:],
+                                              xb.dtype)])
+        if key_fn is not None:
+            k = key_fn(lo)
+        else:
+            key, k = jax.random.split(key)
+        res = gan.reconstruct(jnp.asarray(xb), k, rec_rr=rec_rr,
+                              rec_iters=rec_iters, rec_lr=rec_lr,
+                              kernel=rec_kernel)
+        yield res, lo, hi
+
+
 def model_eval(logits_fn: LogitsFn, x: np.ndarray, y: np.ndarray,
                batch_size: int = 256) -> float:
     """Plain accuracy (reference: cleverhans model_eval)."""
@@ -76,31 +120,22 @@ def model_eval_gan(gan, logits_fn: LogitsFn, x: np.ndarray, y: np.ndarray,
     outcomes with per-example detection flags (whitebox --detect joint
     two-layer metric).
     """
-    key = key if key is not None else jax.random.key(0)
-    if batch_size is None:
-        batch_size = min(1024, ((x.shape[0] + 255) // 256) * 256)
-
     @jax.jit
     def batch_correct(x_hat, yb):
         return jnp.argmax(logits_fn(x_hat), axis=-1) == yb
 
     correct = []
-    n = x.shape[0]
-    for lo, hi in _batches(n, batch_size):
-        xb = x[lo:hi]
+    for res, lo, hi in batched_reconstruct(gan, x, key=key,
+                                           batch_size=batch_size,
+                                           rec_rr=rec_rr,
+                                           rec_iters=rec_iters,
+                                           rec_lr=rec_lr,
+                                           rec_kernel=rec_kernel,
+                                           key_fn=key_fn):
         yb = y[lo:hi]
-        pad = batch_size - xb.shape[0]
+        pad = res.x_hat.shape[0] - yb.shape[0]
         if pad:
-            xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:],
-                                              xb.dtype)])
             yb = np.concatenate([yb, np.zeros(pad, yb.dtype)])
-        if key_fn is not None:
-            k = key_fn(lo)
-        else:
-            key, k = jax.random.split(key)
-        res = gan.reconstruct(jnp.asarray(xb), k, rec_rr=rec_rr,
-                              rec_iters=rec_iters, rec_lr=rec_lr,
-                              kernel=rec_kernel)
         correct.append(np.asarray(batch_correct(res.x_hat,
                                                 jnp.asarray(yb)))[:hi - lo])
     correct = np.concatenate(correct)

@@ -38,6 +38,27 @@ def make_logits_fn(model: nn.Module, params) -> Callable:
     return logits_fn
 
 
+def load_cached_classifier(tag: str, model: nn.Module,
+                           image_shape) -> Optional[ClassifierState]:
+    """Restore the classifier cached under output/classifiers/<tag>, or
+    None when absent. SINGLE source of the cache layout — shared by
+    cli/whitebox.py::get_classifier (which writes it) and downstream
+    consumers (scripts/pipeline_exp.py), so the tag scheme and restore
+    plumbing cannot drift."""
+    import os
+
+    from defensegan_tpu.ckpt import latest_step, restore_checkpoint
+
+    clf_dir = os.path.join("output", "classifiers", tag)
+    if latest_step(clf_dir) is None:
+        return None
+    params0 = model.init(jax.random.key(0),
+                         jnp.zeros((1,) + tuple(image_shape)),
+                         train=False)["params"]
+    return ClassifierState(params=restore_checkpoint(clf_dir, params0),
+                           model=model)
+
+
 def _xent_loss(logits, labels):
     logp = jax.nn.log_softmax(logits)
     return -jnp.mean(jnp.take_along_axis(logp, labels[:, None], axis=1))

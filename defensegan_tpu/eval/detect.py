@@ -33,31 +33,22 @@ def reconstruction_errors(gan, x: np.ndarray,
                           ) -> np.ndarray:
     """Per-image final projection loss (tanh-space MSE), shape [N].
 
-    Batching/padding/override semantics mirror model_eval_gan
-    (eval/accuracy.py) — same static-shape padding, same rec_* override
-    set, same key_fn hook for exact z0 replay.
+    Batching/padding/override semantics ARE model_eval_gan's — both ride
+    eval/accuracy.py::batched_reconstruct (single source of the padding
+    and key derivation).
     """
-    key = key if key is not None else jax.random.key(0)
-    n = x.shape[0]
-    if batch_size is None:
-        batch_size = min(1024, ((n + 255) // 256) * 256)
+    from defensegan_tpu.eval.accuracy import batched_reconstruct
 
     out = []
-    for lo in range(0, n, batch_size):
-        xb = x[lo:lo + batch_size]
-        pad = batch_size - xb.shape[0]
-        if pad:
-            xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:],
-                                              xb.dtype)])
-        if key_fn is not None:
-            k = key_fn(lo)
-        else:
-            key, k = jax.random.split(key)
-        res = gan.reconstruct(jax.numpy.asarray(xb), k, rec_rr=rec_rr,
-                              rec_iters=rec_iters, rec_lr=rec_lr,
-                              kernel=rec_kernel)
-        out.append(np.asarray(res.loss, np.float64))
-    return np.concatenate(out)[:n]
+    for res, lo, hi in batched_reconstruct(gan, x, key=key,
+                                           batch_size=batch_size,
+                                           rec_rr=rec_rr,
+                                           rec_iters=rec_iters,
+                                           rec_lr=rec_lr,
+                                           rec_kernel=rec_kernel,
+                                           key_fn=key_fn):
+        out.append(np.asarray(res.loss, np.float64)[:hi - lo])
+    return np.concatenate(out)
 
 
 def roc_auc(scores_neg: np.ndarray, scores_pos: np.ndarray) -> float:
@@ -140,6 +131,14 @@ def undetected_success_rate(scores_clean: np.ndarray,
     defended pipeline AND unflagged. 0.0 = the two layers jointly stop
     every attack instance; an attacker tuning lambda (queue S) maximizes
     this quantity.
+
+    Pass semantics: in the whitebox/blackbox CLIs the misclassification
+    flags come from the defended-eval projection pass while the scores
+    come from the detect pass (which keeps clean-vs-adv PAIRED on one
+    key) — a cross-pass estimate over the defense's restart randomness.
+    defense/pipeline.py::DefendedPipeline measures the single-shared-pass
+    joint rate an actual deployment sees (one projection serves both
+    layers). The two agree in expectation but are not the same sample.
     """
     scores_adv = np.asarray(scores_adv, np.float64)
     mis = np.asarray(misclassified_adv, bool)

@@ -30,7 +30,6 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 import jax  # noqa: E402
-import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 
@@ -47,11 +46,10 @@ def main(argv=None):
     ap.add_argument("--results_dir", default="output/results")
     args = ap.parse_args(argv)
 
-    from defensegan_tpu.ckpt import latest_step, restore_checkpoint
     from defensegan_tpu.cli.common import load_data, load_gan
     from defensegan_tpu.configs import load_config
     from defensegan_tpu.defense import DefendedPipeline
-    from defensegan_tpu.eval.classifier import ClassifierState
+    from defensegan_tpu.eval.classifier import load_cached_classifier
     from defensegan_tpu.models import build_classifier
     from defensegan_tpu.utils.misc import append_jsonl, ensure_dir
 
@@ -61,16 +59,11 @@ def main(argv=None):
     x_train, _ = ds.load("train")
 
     tag = f"{cfg.type}_model{args.model}"
-    clf_dir = os.path.join("output", "classifiers", tag)
-    if latest_step(clf_dir) is None:
-        raise SystemExit(f"no cached classifier at {clf_dir} — run the "
-                         "matching whitebox cell first (it trains + caches)")
     model = build_classifier(args.model, num_classes=cfg.num_classes)
-    params0 = model.init(jax.random.key(0),
-                         jnp.zeros((1,) + cfg.image_shape),
-                         train=False)["params"]
-    clf = ClassifierState(params=restore_checkpoint(clf_dir, params0),
-                          model=model)
+    clf = load_cached_classifier(tag, model, cfg.image_shape)
+    if clf is None:
+        raise SystemExit(f"no cached classifier for {tag} — run the "
+                         "matching whitebox cell first (it trains + caches)")
     logits_fn = clf.logits_fn()
     print(f"loaded classifier {tag}")
 

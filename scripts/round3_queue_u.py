@@ -79,15 +79,13 @@ def step_d2_digits_pgd30():
 
 def step_pipeline_digits():
     # serving-surface evaluation over the four saved sets
-    import runpy
-    sys.argv = ["pipeline_exp.py", "--cfg", "output/gans/digits",
-                "--model", "A", "--sets",
-                "output/advsets/digits_fgsm.npz",
-                "output/advsets/digits_cw.npz",
-                "output/advsets/digits_pgd.npz",
-                "output/advsets/digits_pgd_pen30.npz"]
-    runpy.run_path(os.path.join(ROOT, "scripts", "pipeline_exp.py"),
-                   run_name="__main__")
+    import pipeline_exp
+    pipeline_exp.main(["--cfg", "output/gans/digits",
+                       "--model", "A", "--sets",
+                       "output/advsets/digits_fgsm.npz",
+                       "output/advsets/digits_cw.npz",
+                       "output/advsets/digits_pgd.npz",
+                       "output/advsets/digits_pgd_pen30.npz"])
 
 
 def step_d2_flagship_fgsm():

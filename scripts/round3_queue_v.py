@@ -60,12 +60,10 @@ def _mk_flagship(lam):
 
 
 def step_pipeline_digits_centered():
-    import runpy
-    sys.argv = ["pipeline_exp.py", "--cfg", "output/gans/digits",
-                "--model", "A", "--sets",
-                "output/advsets/digits_pgd_cen.npz"]
-    runpy.run_path(os.path.join(ROOT, "scripts", "pipeline_exp.py"),
-                   run_name="__main__")
+    import pipeline_exp
+    pipeline_exp.main(["--cfg", "output/gans/digits",
+                       "--model", "A", "--sets",
+                       "output/advsets/digits_pgd_cen.npz"])
 
 
 STEPS = (
