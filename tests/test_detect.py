@@ -120,6 +120,35 @@ def test_model_eval_gan_return_correct():
     assert acc2 == acc
 
 
+def test_eval_and_detector_share_key_sequence():
+    """model_eval_gan and reconstruction_errors ride the same
+    batched_reconstruct loop: same base key + batch size => identical
+    per-batch restart keys (the paired clean/adv detection methodology
+    and the eval-vs-detect comparability depend on this)."""
+    from defensegan_tpu.eval import model_eval_gan
+
+    cfg = Config(type="mnist", gen_dim=4, latent_dim=8, disc_dim=4,
+                 rec_rr=2, rec_iters=2)
+    gan = DefenseGAN(cfg)
+    seen = []
+    orig = gan.reconstruct
+
+    def recording(xb, k, **kw):
+        seen.append(np.asarray(jax.random.key_data(k)).tolist())
+        return orig(xb, k, **kw)
+
+    gan.reconstruct = recording
+    x = np.asarray(jax.random.uniform(jax.random.key(12), (6, 28, 28, 1)))
+    y = np.zeros(6, np.int32)
+    logits_fn = lambda xb: jnp.zeros((xb.shape[0], 2))  # noqa: E731
+    model_eval_gan(gan, logits_fn, x, y, key=jax.random.key(13),
+                   batch_size=4)
+    keys_eval, seen[:] = list(seen), []
+    reconstruction_errors(gan, x, key=jax.random.key(13), batch_size=4)
+    keys_det = list(seen)
+    assert keys_eval == keys_det and len(keys_eval) == 2
+
+
 # ----------------------------------------------------- score extraction
 def test_reconstruction_errors_batching_and_signal():
     cfg = Config(type="mnist", gen_dim=4, latent_dim=8, disc_dim=4,
