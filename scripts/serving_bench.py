@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Serving-latency benchmark for the DefendedPipeline.
+
+The reference (kabkabm/defensegan) has no serving surface; this measures
+ours as an operator would deploy it: calibrated DefendedPipeline
+(purify + classify + flag in ONE projection pass,
+defense/pipeline.py), end-to-end wall-clock per predict() call across
+batch sizes — the latency/throughput tradeoff curve for defended
+inference.
+
+Per batch size: one warmup call (compile), then `--repeats` timed calls;
+reports min/median latency and images/s (batch / min latency). Timing is
+end-to-end host wall clock around predict(), which includes the honest
+device fetch (numpy conversion of preds/errs) — on the axon tunnel each
+dispatch+fetch carries ~30 ms fixed transport overhead, so batch=1
+latency is transport-dominated; the curve's large-batch end is the
+compute-bound throughput ceiling (cross-check: bench.py's projection-only
+number).
+
+Writes one JSONL row per (batch, kernel) into
+output/results/serving_bench.jsonl and prints a summary table.
+
+Usage:
+  python scripts/serving_bench.py --cfg output/gans/mnist_fast --model A \
+      [--batches 1 16 256 1024 4096 16384] [--kernel auto] [--repeats 3]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import numpy as np  # noqa: E402
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--cfg", required=True)
+    ap.add_argument("--model", default="A")
+    ap.add_argument("--batches", type=int, nargs="+",
+                    default=[1, 16, 256, 1024, 4096, 16384])
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--kernel", default=None,
+                    help="rec_kernel override per predict (default: cfg "
+                    "auto dispatch)")
+    ap.add_argument("--fpr", type=float, default=0.05)
+    ap.add_argument("--detector", default="two_sided",
+                    choices=["two_sided", "one_sided"])
+    ap.add_argument("--calib_n", type=int, default=256)
+    ap.add_argument("--results_dir", default="output/results")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from defensegan_tpu.cli.common import load_data, load_gan
+    from defensegan_tpu.configs import load_config
+    from defensegan_tpu.defense import DefendedPipeline
+    from defensegan_tpu.eval.classifier import load_cached_classifier
+    from defensegan_tpu.gan.defense_gan import resolve_projection_kernel
+    from defensegan_tpu.models import build_classifier
+    from defensegan_tpu.utils.misc import append_jsonl, ensure_dir
+
+    cfg = load_config(args.cfg)
+    gan = load_gan(cfg, require_trained=True)
+    ds = load_data(cfg)
+    x_train, _ = ds.load("train")
+    x_test, _ = ds.load("test")
+
+    tag = f"{cfg.type}_model{args.model}"
+    model = build_classifier(args.model, num_classes=cfg.num_classes)
+    clf = load_cached_classifier(tag, model, cfg.image_shape)
+    if clf is None:
+        raise SystemExit(f"no cached classifier for {tag} — run the "
+                         "matching whitebox cell first (it trains + caches)")
+    print(f"loaded classifier {tag}")
+
+    pipe = DefendedPipeline(gan, clf.logits_fn(), fpr=args.fpr,
+                            detector=args.detector,
+                            rec_kernel=args.kernel)
+    t0 = time.perf_counter()
+    pipe.calibrate(x_train[-args.calib_n:], key=jax.random.key(101))
+    print(f"calibrated {args.detector} detector on {args.calib_n} clean "
+          f"images in {time.perf_counter() - t0:.1f}s "
+          f"(center {pipe._center:.5f}, threshold {pipe._threshold:.5f})")
+
+    ensure_dir(args.results_dir)
+    out_path = os.path.join(args.results_dir, "serving_bench.jsonl")
+    rows = []
+    for b in args.batches:
+        reps = int(np.ceil(b / x_test.shape[0]))
+        x = np.tile(x_test, (reps,) + (1,) * (x_test.ndim - 1))[:b]
+        resolved = resolve_projection_kernel(
+            gan, n=b * cfg.rec_rr, requested=args.kernel or
+            cfg.projection_kernel)
+        pipe.predict(x, key=jax.random.key(0), batch_size=b)  # warm/compile
+        times = []
+        flag_rate = None
+        for i in range(args.repeats):
+            t0 = time.perf_counter()
+            out = pipe.predict(x, key=jax.random.key(i + 1), batch_size=b)
+            times.append(time.perf_counter() - t0)
+            flag_rate = float(np.mean(out.flagged))
+        row = {
+            "script": "serving_bench", "dataset": cfg.type,
+            "model": args.model, "batch": b,
+            "kernel": resolved, "rec_rr": cfg.rec_rr,
+            "rec_iters": cfg.rec_iters, "detector": args.detector,
+            "latency_ms_min": round(min(times) * 1e3, 2),
+            "latency_ms_median": round(float(np.median(times)) * 1e3, 2),
+            "images_per_s": round(b / min(times), 2),
+            "clean_flag_rate": flag_rate,
+            "repeats": args.repeats,
+        }
+        rows.append(row)
+        append_jsonl(out_path, row)
+        print(json.dumps(row), flush=True)
+
+    print(f"\n{'batch':>7} {'kernel':>12} {'lat ms (min)':>13} "
+          f"{'img/s':>10}")
+    for r in rows:
+        print(f"{r['batch']:>7} {r['kernel']:>12} "
+              f"{r['latency_ms_min']:>13.1f} {r['images_per_s']:>10.1f}")
+
+
+if __name__ == "__main__":
+    main()
