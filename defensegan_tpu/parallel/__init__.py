@@ -21,8 +21,10 @@ from defensegan_tpu.parallel.distributed import (
     initialize_distributed,
     make_shard_map_train_step,
 )
+from defensegan_tpu.parallel.serving import ShardedDefenseGAN
 
 __all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
            "shard_batch", "validate_batch_for_mesh",
            "validate_projection_sharding", "initialize_distributed",
-           "make_shard_map_train_step", "global_batch_sharding"]
+           "make_shard_map_train_step", "global_batch_sharding",
+           "ShardedDefenseGAN"]
