@@ -56,6 +56,12 @@ class ShardedDefenseGAN:
         self.gan = gan
         self.mesh = mesh if mesh is not None else make_mesh()
         self._cache: Dict[Tuple, callable] = {}
+        # the shard_map trace bakes gan.state's weights into the compiled
+        # program as constants; gan.load()/train() rebind gan.state (and
+        # clear gan's own caches), so track the traced state's identity
+        # and drop our programs when it changes — otherwise we'd silently
+        # serve reconstructions from stale weights
+        self._traced_state = gan.state
 
     # duck-typed surface consumers touch (resolve_projection_kernel,
     # batched_reconstruct's overrides, classifier tags)
@@ -83,20 +89,34 @@ class ShardedDefenseGAN:
                 "through shard_map exposed); build attack graphs on the "
                 "single-chip DefenseGAN — GSPMD shards those when inputs "
                 "carry a batch sharding")
+        from defensegan_tpu.gan.defense_gan import resolve_projection_kernel
+
         cfg = self.gan.cfg
         rr = rec_rr if rec_rr is not None else cfg.rec_rr
+        iters = rec_iters if rec_iters is not None else cfg.rec_iters
+        lr = rec_lr if rec_lr is not None else cfg.rec_lr
         key = key if key is not None else jax.random.key(cfg.seed + 1)
         validate_projection_sharding(self.mesh, x.shape[0], rr)
+        # resolve the kernel against the PER-SHARD flat batch (each device
+        # runs the guards on its local block) and normalize the cache key to
+        # resolved values — None vs explicit-cfg-equal overrides, or 'auto'
+        # vs its resolution, must not compile duplicate programs (Mosaic
+        # compiles are minutes each on the remote TPU compiler)
+        n_local = (x.shape[0] // self.mesh.devices.size) * rr
+        kernel = resolve_projection_kernel(self.gan, n=n_local,
+                                           requested=kernel)
 
-        sig = (x.shape[0], rr, rec_iters, rec_lr, kernel)
+        if self._traced_state is not self.gan.state:
+            self._cache.clear()
+            self._traced_state = self.gan.state
+        sig = (x.shape[0], rr, iters, lr, kernel)
         if sig not in self._cache:
             gan = self.gan
 
             def local(xb, k):
                 kb = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
-                return gan.reconstruct(xb, kb, rec_rr=rec_rr,
-                                       rec_iters=rec_iters, rec_lr=rec_lr,
-                                       kernel=kernel)
+                return gan.reconstruct(xb, kb, rec_rr=rr, rec_iters=iters,
+                                       rec_lr=lr, kernel=kernel)
 
             fn = jax.shard_map(local, mesh=self.mesh,
                                in_specs=(P(DATA_AXIS), P()),

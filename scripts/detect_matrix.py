@@ -53,19 +53,22 @@ def whitebox_key(r):
     return ("wb", r.get("dataset"), r.get("model"), r.get("attack"),
             r.get("attack_grad"), r.get("fgsm_eps"),
             r.get("pgd_rec_penalty"), r.get("pgd_rec_center"),
-            r.get("pgd_iters"), r.get("cw_max_iterations"),
-            r.get("eval_z0"), r.get("num_tests"), r.get("rec_rr"),
-            r.get("rec_iters"))
+            r.get("pgd_iters"), r.get("pgd_eps_iter"), r.get("pgd_z0"),
+            r.get("cw_max_iterations"), r.get("cw_binary_search_steps"),
+            r.get("attack_rec_iters"), r.get("eval_z0"),
+            r.get("num_tests"), r.get("rec_rr"), r.get("rec_iters"))
 
 
 def blackbox_key(r):
     return ("bb", r.get("dataset"), r.get("bb_model"), r.get("sub_model"),
-            r.get("fgsm_eps"), r.get("num_tests"))
+            r.get("fgsm_eps"), r.get("data_aug"), r.get("lmbda"),
+            r.get("num_tests"))
 
 
 def pipeline_key(r):
     return ("pl", r.get("dataset"), r.get("model"), r.get("set"),
-            r.get("detector"), r.get("fpr"), r.get("n"))
+            r.get("detector"), r.get("fpr"), r.get("calib_n"),
+            r.get("rec_rr"), r.get("rec_iters"), r.get("n"))
 
 
 def _dedup(rows, keyfn):

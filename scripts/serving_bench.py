@@ -67,7 +67,12 @@ def main(argv=None):
     cfg = load_config(args.cfg)
     gan = load_gan(cfg, require_trained=True)
     ds = load_data(cfg)
-    x_train, _ = ds.load("train")
+    # memory-lean calibration slice: only calib_n images are needed, and
+    # load("train") would materialize the full split as float32 (~8 GB for
+    # CelebA); load_u8 returns the uint8 store (memmap where native)
+    x_train_u8, _ = ds.load_u8("train")
+    x_calib = np.asarray(x_train_u8[-args.calib_n:],
+                         np.float32) / 255.0
     x_test, _ = ds.load("test")
 
     tag = f"{cfg.type}_model{args.model}"
@@ -82,7 +87,7 @@ def main(argv=None):
                             detector=args.detector,
                             rec_kernel=args.kernel)
     t0 = time.perf_counter()
-    pipe.calibrate(x_train[-args.calib_n:], key=jax.random.key(101))
+    pipe.calibrate(x_calib, key=jax.random.key(101))
     print(f"calibrated {args.detector} detector on {args.calib_n} clean "
           f"images in {time.perf_counter() - t0:.1f}s "
           f"(center {pipe._center:.5f}, threshold {pipe._threshold:.5f})")

@@ -58,6 +58,43 @@ def test_sharded_reconstruct_validates_batch_and_back_prop(eight_devices):
                             jax.random.key(0), back_prop=True)
 
 
+def test_sharded_cache_invalidated_on_weight_change(eight_devices):
+    """shard_map bakes gan.state into the program as constants; after
+    gan.load()/train() rebinds gan.state the wrapper must re-trace, not
+    serve reconstructions from the stale weights."""
+    import jax.numpy as jnp
+
+    gan = _tiny_gan()
+    sharded = ShardedDefenseGAN(gan, make_mesh())
+    x = np.random.RandomState(1).rand(8, 28, 28, 1).astype(np.float32)
+    key = jax.random.key(0)
+    stale = np.asarray(sharded.reconstruct(x, key, kernel="xla").x_hat)
+
+    # what load()/train() do: rebind state (and clear gan's own caches)
+    gan.state = gan.state.replace(
+        gen_params=jax.tree.map(lambda p: p + 0.5, gan.state.gen_params))
+    gan._reconstructors.clear()
+
+    fresh = np.asarray(sharded.reconstruct(x, key, kernel="xla").x_hat)
+    ref = np.asarray(ShardedDefenseGAN(gan, make_mesh()).reconstruct(
+        x, key, kernel="xla").x_hat)
+    assert not np.allclose(fresh, stale)      # not the stale program
+    np.testing.assert_allclose(fresh, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_cache_normalizes_override_spelling(eight_devices):
+    """reconstruct() with default overrides and with explicit cfg-equal
+    values must hit ONE cached program (Mosaic compiles cost minutes)."""
+    gan = _tiny_gan()
+    sharded = ShardedDefenseGAN(gan, make_mesh())
+    x = np.zeros((8, 28, 28, 1), np.float32)
+    sharded.reconstruct(x, jax.random.key(0), kernel="xla")
+    sharded.reconstruct(x, jax.random.key(0), rec_rr=gan.cfg.rec_rr,
+                        rec_iters=gan.cfg.rec_iters, rec_lr=gan.cfg.rec_lr,
+                        kernel="xla")
+    assert len(sharded._cache) == 1
+
+
 def test_pipeline_over_sharded_gan(eight_devices):
     """DefendedPipeline composes with the sharded wrapper unchanged:
     calibrate + predict run multi-chip with per-example outputs intact."""
