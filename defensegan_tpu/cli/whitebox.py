@@ -200,6 +200,12 @@ def main(argv=None):
                     "x_clean, attack meta) for downstream experiments "
                     "(e.g. scripts/pipeline_exp.py serving-pipeline "
                     "evaluation) — crafting stays single-sourced here")
+    ap.add_argument("--detect_save", default=None, metavar="PATH.npz",
+                    help="with --detect: save the per-example paired "
+                    "detection statistics (errs_clean, errs_adv, "
+                    "defended_correct_adv, meta) for host-side analysis "
+                    "(scripts/calibration_analysis.py: bootstrap AUC CIs, "
+                    "threshold stability vs calibration-set size)")
     ap.add_argument("--save_images", action="store_true",
                     help="dump original|adversarial|purified grids into "
                     "results_dir (reference: utils/visualize.py dumps)")
@@ -238,6 +244,9 @@ def main(argv=None):
     if args.detect and args.attack_type == "none":
         ap.error("--detect compares clean vs adversarial reconstruction "
                  "errors; it needs an --attack_type")
+    if args.detect_save and not args.detect:
+        ap.error("--detect_save saves the --detect statistics; add "
+                 "--detect")
     if args.attack_grad == "bpda" and (args.defense_type != "defense_gan"
                                        or args.attack_type == "none"
                                        or args.attack_through_defense
@@ -538,6 +547,23 @@ def main(argv=None):
             print(f"undetected successful attacks @ 5% FPR: "
                   f"{undetected_success:.4f} one-sided / "
                   f"{undetected_success_2s:.4f} two-sided")
+        if args.detect_save:
+            ensure_dir(os.path.dirname(args.detect_save) or ".")
+            meta = {"dataset": cfg.type, "model": args.model,
+                    "attack": args.attack_type,
+                    "defense": args.defense_type,
+                    "fgsm_eps": args.fgsm_eps,
+                    "rec_rr": cfg.rec_rr, "rec_iters": cfg.rec_iters,
+                    "pgd_rec_penalty": (args.pgd_rec_penalty
+                                        if args.attack_type == "pgd"
+                                        else None)}
+            arrays = {"errs_clean": errs_clean, "errs_adv": errs_adv}
+            if defended_correct_adv is not None:
+                arrays["defended_correct_adv"] = np.asarray(
+                    defended_correct_adv, bool)
+            np.savez(args.detect_save, meta=json.dumps(meta), **arrays)
+            print(f"saved per-example detection statistics to "
+                  f"{args.detect_save}")
 
     ensure_dir(args.results_dir)
     record = {

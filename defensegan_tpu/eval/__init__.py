@@ -8,13 +8,16 @@ kabkabm/defensegan.
 from defensegan_tpu.eval.classifier import (ClassifierState, make_logits_fn,
                                             train_classifier)
 from defensegan_tpu.eval.accuracy import model_eval, model_eval_gan
-from defensegan_tpu.eval.detect import (reconstruction_errors, roc_auc,
+from defensegan_tpu.eval.detect import (bootstrap_auc_ci, calibration_sweep,
+                                        reconstruction_errors, roc_auc,
                                         roc_points, tpr_at_fpr,
                                         two_sided_scores,
                                         undetected_success_rate)
 from defensegan_tpu.eval.quality import BF16_TIE_TAU, tie_aware_disagreement
 
 __all__ = [
+    "bootstrap_auc_ci",
+    "calibration_sweep",
     "reconstruction_errors",
     "roc_auc",
     "roc_points",

@@ -118,6 +118,76 @@ def two_sided_scores(errs: np.ndarray, clean_errs: np.ndarray) -> np.ndarray:
     return np.abs(np.asarray(errs, np.float64) - center)
 
 
+def bootstrap_auc_ci(scores_neg: np.ndarray, scores_pos: np.ndarray,
+                     n_boot: int = 1000, alpha: float = 0.05,
+                     seed: int = 0) -> Tuple[float, float]:
+    """Percentile-bootstrap (1-alpha) CI for roc_auc.
+
+    Resamples both classes with replacement; answers "is AUC 0.83 on 256
+    examples actually different from 0.75?" for the RESULTS tables. Pure
+    host numpy — thousands of floats, no device work.
+    """
+    rng = np.random.default_rng(seed)
+    neg = np.asarray(scores_neg, np.float64)
+    pos = np.asarray(scores_pos, np.float64)
+    aucs = [roc_auc(rng.choice(neg, neg.size, replace=True),
+                    rng.choice(pos, pos.size, replace=True))
+            for _ in range(n_boot)]
+    lo, hi = np.quantile(aucs, [alpha / 2.0, 1.0 - alpha / 2.0])
+    return float(lo), float(hi)
+
+
+def calibration_sweep(errs_clean: np.ndarray, errs_adv: np.ndarray,
+                      detector: str = "two_sided", fpr: float = 0.05,
+                      sizes: Tuple[int, ...] = (16, 32, 64, 128),
+                      trials: int = 200, seed: int = 0) -> list:
+    """How many clean samples does the detector threshold need?
+
+    The operational question behind DefendedPipeline.calibrate(): the
+    operator fits center+threshold on a finite clean sample; a small one
+    mis-places the (1-fpr) quantile and the realized FPR/TPR drift. Per
+    calibration size n: subsample n clean errors WITHOUT replacement,
+    fit the detector exactly as the pipeline does (two-sided center =
+    calib median; threshold = (1-fpr) quantile of calib scores), then
+    measure the realized FPR on the held-out clean remainder and TPR on
+    the adversarial errors. Returns one dict per size with mean/p90
+    realized FPR and mean/std TPR over `trials` resamples.
+    """
+    if detector not in ("two_sided", "one_sided"):
+        raise ValueError(f"unknown detector {detector!r}")
+    rng = np.random.default_rng(seed)
+    clean = np.asarray(errs_clean, np.float64)
+    adv = np.asarray(errs_adv, np.float64)
+    rows = []
+    for n in sizes:
+        if n >= clean.size:
+            raise ValueError(f"calibration size {n} needs held-out clean "
+                             f"data (have {clean.size} clean errors)")
+        fprs, tprs = [], []
+        for _ in range(trials):
+            idx = rng.permutation(clean.size)
+            calib, held = clean[idx[:n]], clean[idx[n:]]
+            if detector == "two_sided":
+                center = float(np.median(calib))
+                s_cal = np.abs(calib - center)
+                s_held = np.abs(held - center)
+                s_adv = np.abs(adv - center)
+            else:
+                s_cal, s_held, s_adv = calib, held, adv
+            thr = np.quantile(s_cal, 1.0 - fpr)
+            fprs.append(float((s_held > thr).mean()))
+            tprs.append(float((s_adv > thr).mean()))
+        rows.append({
+            "calib_n": int(n), "detector": detector,
+            "fpr_target": float(fpr), "trials": int(trials),
+            "fpr_mean": float(np.mean(fprs)),
+            "fpr_p90": float(np.quantile(fprs, 0.9)),
+            "tpr_mean": float(np.mean(tprs)),
+            "tpr_std": float(np.std(tprs)),
+        })
+    return rows
+
+
 def undetected_success_rate(scores_clean: np.ndarray,
                             scores_adv: np.ndarray,
                             misclassified_adv: np.ndarray,

@@ -54,19 +54,23 @@ def _wb(cfg_dir, attack, extra=(), batch="128"):
 
 def step_d2_digits_fgsm():
     _wb("output/gans/digits", "fgsm",
-        ("--fgsm_eps", "0.1", "--save_adv", "output/advsets/digits_fgsm.npz"))
+        ("--fgsm_eps", "0.1", "--save_adv", "output/advsets/digits_fgsm.npz",
+         "--detect_save", "output/detstats/digits_fgsm.npz"))
 
 
 def step_d2_digits_cw():
     _wb("output/gans/digits", "cw",
-        CW + ("--save_adv", "output/advsets/digits_cw.npz"))
+        CW + ("--save_adv", "output/advsets/digits_cw.npz",
+              "--detect_save", "output/detstats/digits_cw.npz"))
 
 
 def _pgd_digits_save(lam, path):
     _wb("output/gans/digits", "pgd",
         ("--fgsm_eps", "0.1", "--pgd_iters", "40", "--pgd_eps_iter", "0.01",
          "--attack_grad", "bpda", "--pgd_rec_penalty", str(lam),
-         "--save_adv", path))
+         "--save_adv", path,
+         "--detect_save",
+         f"output/detstats/digits_pgd_l{lam:g}.npz"))
 
 
 def step_d2_digits_pgd0():
@@ -89,11 +93,15 @@ def step_pipeline_digits():
 
 
 def step_d2_flagship_fgsm():
-    _wb("output/gans/mnist_fast", "fgsm", batch="256")
+    _wb("output/gans/mnist_fast", "fgsm",
+        ("--detect_save", "output/detstats/flagship_fgsm.npz"),
+        batch="256")
 
 
 def step_d2_flagship_cw():
-    _wb("output/gans/mnist_fast", "cw", CW, batch="256")
+    _wb("output/gans/mnist_fast", "cw",
+        CW + ("--detect_save", "output/detstats/flagship_cw.npz"),
+        batch="256")
 
 
 def step_d2_fmnist_fgsm():

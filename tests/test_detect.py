@@ -197,3 +197,42 @@ def test_blackbox_detect_requires_defense_gan():
     with pytest.raises(SystemExit) as ex:
         blackbox.main(["--defense_type", "none", "--detect"])
     assert ex.value.code == 2
+
+
+def test_bootstrap_auc_ci_brackets_point_estimate():
+    from defensegan_tpu.eval import bootstrap_auc_ci
+
+    rng = np.random.default_rng(0)
+    neg = rng.normal(0.0, 1.0, 200)
+    pos = rng.normal(1.5, 1.0, 200)
+    auc = roc_auc(neg, pos)
+    lo, hi = bootstrap_auc_ci(neg, pos, n_boot=300)
+    assert lo <= auc <= hi
+    assert 0.0 < hi - lo < 0.2          # informative, not vacuous
+    # perfect separation: CI collapses at 1.0
+    lo, hi = bootstrap_auc_ci([0.0, 0.1], [5.0, 6.0], n_boot=100)
+    assert lo == hi == 1.0
+
+
+def test_calibration_sweep_realized_fpr_converges():
+    from defensegan_tpu.eval import calibration_sweep
+
+    rng = np.random.default_rng(1)
+    clean = rng.normal(1.0, 0.1, 2000)
+    adv = rng.normal(3.0, 0.1, 500)      # far tail: TPR ~1 at any threshold
+    rows = calibration_sweep(clean, adv, detector="two_sided", fpr=0.05,
+                             sizes=(16, 256), trials=100, seed=0)
+    small, big = rows
+    assert big["tpr_mean"] > 0.99
+    # a larger calibration set places the quantile closer to the target
+    # and with less spread
+    assert abs(big["fpr_mean"] - 0.05) <= abs(small["fpr_mean"] - 0.05) + 0.01
+    assert big["fpr_p90"] <= small["fpr_p90"] + 0.01
+    # one-sided variant runs and keeps the same row schema
+    r1 = calibration_sweep(clean, adv, detector="one_sided", fpr=0.05,
+                           sizes=(64,), trials=50)[0]
+    assert r1["detector"] == "one_sided" and r1["tpr_mean"] > 0.99
+    with pytest.raises(ValueError):
+        calibration_sweep(clean[:10], adv, sizes=(16,))
+    with pytest.raises(ValueError):
+        calibration_sweep(clean, adv, detector="bogus", sizes=(16,))
