@@ -104,6 +104,14 @@ def step_d2_flagship_cw():
         batch="256")
 
 
+def step_d2_digits_rand_fgsm():
+    _wb("output/gans/digits", "rand_fgsm", ("--fgsm_eps", "0.1"))
+
+
+def step_d2_flagship_rand_fgsm():
+    _wb("output/gans/mnist_fast", "rand_fgsm", batch="256")
+
+
 def step_d2_fmnist_fgsm():
     _wb("output/gans/f-mnist", "fgsm")
 
@@ -134,6 +142,8 @@ STEPS = [
     ("d2_digits_pgd30", step_d2_digits_pgd30),
     ("d2_flagship_fgsm", step_d2_flagship_fgsm),
     ("d2_flagship_cw", step_d2_flagship_cw),
+    ("d2_digits_rand_fgsm", step_d2_digits_rand_fgsm),
+    ("d2_flagship_rand_fgsm", step_d2_flagship_rand_fgsm),
     ("d2_fmnist_fgsm", step_d2_fmnist_fgsm),
     ("d2_celeba_wide_fgsm", step_d2_celeba_wide_fgsm),
     ("d2_blackbox_digits", step_d2_blackbox_digits),
