@@ -64,6 +64,16 @@ def _pgd_machinery(logits_fn: LogitsFn, eps: float, eps_iter: float,
       init(x, key)                     rand_init start point
       step(x_adv, i, x, labels, key)   one signed-gradient step at index i
     """
+    if loss_fn is not None and not keyed:
+        # a caller-supplied loss receives the per-step PRNG key (defended
+        # forwards sample z0 from it — attacks/compose.py); without
+        # keyed_logits it would be silently called with key=None and fail
+        # deep inside the trace with an opaque TypeError (round-3 advisor)
+        raise ValueError(
+            "loss_fn requires keyed_logits=True (the custom loss is "
+            "called as loss_fn(x_adv, labels, key)); pass keyed_logits="
+            "True and a PRNG key — a deterministic loss_fn may simply "
+            "ignore the key")
 
     def loss(x_adv, labels, key):
         if loss_fn is not None:

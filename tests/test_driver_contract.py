@@ -22,7 +22,7 @@ def test_bench_main_emits_one_json_line(tmp_path, monkeypatch):
 
     buf = io.StringIO()
     argv = ["bench.py", "--batch", "32", "--rec_rr", "2", "--rec_iters",
-            "3", "--repeats", "1", "--deep_cfg", ""]
+            "3", "--repeats", "1", "--deep_cfg", "", "--max_wait", "0"]
     monkeypatch.setattr(sys, "argv", argv)
     with redirect_stdout(buf):
         bench.main()
@@ -48,7 +48,7 @@ def test_bench_deep_fields(tmp_path, monkeypatch):
                             "mnist.yml")
     argv = ["bench.py", "--batch", "16", "--deep_batch", "16", "--rec_rr",
             "2", "--rec_iters", "2", "--repeats", "1",
-            "--deep_cfg", deep_cfg]
+            "--deep_cfg", deep_cfg, "--max_wait", "0"]
     monkeypatch.setattr(sys, "argv", argv)
     with redirect_stdout(buf):
         bench.main()

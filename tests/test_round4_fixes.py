@@ -1,0 +1,169 @@
+"""Regression tests for the round-4 driver/advisor fixes:
+
+- dryrun_multichip must force the host platform BEFORE its first backend
+  touch (round 3's MULTICHIP artifact died for 25 min claiming the TPU
+  it never needs, during a service outage — VERDICT round-3 item 1a);
+- bench.py's backend probe (wait_for_backend) retries from a subprocess
+  and, on give-up, still emits a parseable diagnostic JSON line (1b);
+- bench.py's auto int8 promotion is gated on a per-checkpoint stamp
+  (int8_gate_stamp — VERDICT round-3 item 4);
+- the deep bench leg degrades an explicitly requested unrunnable kernel
+  to the auto resolution instead of discarding the record (advisor);
+- vs_baseline is recomputable exactly from the emitted rounded value
+  (advisor: it used to be rounded from the unrounded throughput);
+- pgd/make_chunked_pgd raise a clear ValueError when loss_fn is passed
+  without keyed_logits (advisor).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+
+# --------------------------------------------- dryrun backend discipline
+def test_dryrun_forces_cpu_before_any_backend_touch(monkeypatch,
+                                                    eight_devices):
+    """Every jax.devices() call inside the dryrun must happen with the
+    platform already forced to cpu — the exact init-order property whose
+    violation produced MULTICHIP_r03.json rc=124."""
+    import __graft_entry__ as ge
+
+    real_devices = jax.devices
+    platforms_at_call = []
+
+    def spy(*a, **kw):
+        platforms_at_call.append(jax.config.jax_platforms)
+        return real_devices(*a, **kw)
+
+    monkeypatch.setattr(jax, "devices", spy)
+    ge.dryrun_multichip(2)
+    assert platforms_at_call, "dryrun never queried devices?"
+    assert all(p == "cpu" for p in platforms_at_call), platforms_at_call
+
+
+# ------------------------------------------------- bench backend probe
+def _fake_cp(rc, out="cpu\n4.0\n", err=""):
+    return subprocess.CompletedProcess(args=[], returncode=rc,
+                                       stdout=out, stderr=err)
+
+
+def test_wait_for_backend_healthy_first_probe(monkeypatch):
+    import bench
+
+    monkeypatch.setattr(bench.subprocess, "run",
+                        lambda *a, **kw: _fake_cp(0))
+    assert bench.wait_for_backend(max_wait_s=10) is True
+
+
+def test_wait_for_backend_gives_up_with_diagnostic(monkeypatch, capsys):
+    import bench
+
+    def always_timeout(*a, **kw):
+        raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
+
+    monkeypatch.setattr(bench.subprocess, "run", always_timeout)
+    assert bench.wait_for_backend(max_wait_s=0) is False
+    lines = [ln for ln in capsys.readouterr().out.splitlines()
+             if ln.strip()]
+    assert len(lines) == 1
+    rec = json.loads(lines[0])  # the driver can still parse the record
+    assert rec["metric"] == "mnist_reconstructions_per_sec_per_chip"
+    assert rec["value"] == 0.0 and rec["vs_baseline"] == 0.0
+    assert "unavailable" in rec["error"]
+
+
+def test_wait_for_backend_retries_then_succeeds(monkeypatch):
+    import bench
+
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        return _fake_cp(0 if calls["n"] >= 3 else 1, err="UNAVAILABLE\n")
+
+    monkeypatch.setattr(bench.subprocess, "run", flaky)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    assert bench.wait_for_backend(max_wait_s=600) is True
+    assert calls["n"] == 3
+
+
+# ------------------------------------------------- int8 gate stamp
+def _write_stamp(tmp_path, **kw):
+    path = tmp_path / "checkpoints" / "int8_gate.json"
+    path.write_text(json.dumps(kw))
+
+
+def test_int8_gate_stamp(tmp_path):
+    import bench
+
+    out = str(tmp_path)
+    # no checkpoints at all -> None
+    assert bench.int8_gate_stamp(out) is None
+    (tmp_path / "checkpoints" / "100").mkdir(parents=True)
+    # checkpoint but no stamp -> None
+    assert bench.int8_gate_stamp(out) is None
+    # failing stamp -> None
+    _write_stamp(tmp_path, step=100, **{"pass": False})
+    assert bench.int8_gate_stamp(out) is None
+    # stamp measured on an OLDER checkpoint than the one on disk -> None
+    _write_stamp(tmp_path, step=50, **{"pass": True})
+    assert bench.int8_gate_stamp(out) is None
+    # passing stamp on the current step -> the stamp
+    _write_stamp(tmp_path, step=100, **{"pass": True},
+                 material_disagreement_int8=0.016)
+    stamp = bench.int8_gate_stamp(out)
+    assert stamp and stamp["material_disagreement_int8"] == 0.016
+    # a retrain advancing the step re-voids the stamp
+    (tmp_path / "checkpoints" / "200").mkdir()
+    assert bench.int8_gate_stamp(out) is None
+    # corrupt stamp file -> None, not a crash
+    (tmp_path / "checkpoints" / "int8_gate.json").write_text("{nope")
+    assert bench.int8_gate_stamp(out) is None
+
+
+# --------------------------------------- deep-leg explicit-kernel fallback
+def test_measure_deep_fallback_to_auto(tmp_path, monkeypatch, capsys):
+    """--kernel pallas_int8 is valid for the wide headline but unrunnable
+    on the deep topology; with fallback_to_auto the deep leg measures the
+    auto resolution instead of sys.exiting after the headline was already
+    measured (round-3 advisor)."""
+    monkeypatch.chdir(tmp_path)  # no trained ckpts
+    import bench
+
+    deep_cfg = os.path.join(ROOT, "defensegan_tpu", "configs", "gans",
+                            "mnist.yml")
+    v, k, cfg = bench.measure(deep_cfg, batch=8, rec_rr=2, rec_iters=2,
+                              repeats=1, kernel="pallas_int8",
+                              fallback_to_auto=True)
+    assert v > 0
+    assert k == "xla"  # deep off-TPU auto resolution
+    assert "deep leg measuring auto resolution" in capsys.readouterr().err
+    # without the flag the same request still refuses (headline behavior)
+    with pytest.raises(SystemExit):
+        bench.measure(deep_cfg, batch=8, rec_rr=2, rec_iters=2,
+                      repeats=1, kernel="pallas_int8")
+
+
+# --------------------------------------------- pgd loss_fn key contract
+def test_pgd_loss_fn_requires_keyed_logits():
+    from defensegan_tpu.attacks import make_chunked_pgd, pgd
+
+    def loss(x_adv, labels, key):  # pragma: no cover - never reached
+        return jnp.zeros(x_adv.shape[0])
+
+    x = jnp.zeros((2, 4, 4, 1))
+    y = jnp.zeros((2,), jnp.int32)
+    with pytest.raises(ValueError, match="keyed_logits"):
+        pgd(lambda xb: jnp.zeros((xb.shape[0], 2)), x, y, eps=0.1,
+            eps_iter=0.05, nb_iter=2, key=jax.random.key(0), loss_fn=loss)
+    with pytest.raises(ValueError, match="keyed_logits"):
+        make_chunked_pgd(lambda xb: jnp.zeros((xb.shape[0], 2)), eps=0.1,
+                         eps_iter=0.05, nb_iter=2, loss_fn=loss)
