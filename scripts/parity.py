@@ -226,11 +226,19 @@ def main():
         key = (dataset, model, attack, defense)
         prev = done.get(key)
         strength = strength_of(attack, model)
-        if prev is not None and prev.get("strength") == strength:
+        if (prev is not None and prev.get("strength") == strength
+                and bool(prev.get("real_data")) == bool(real)):
             return
         if prev is not None:
-            print(f"strength changed for {key} "
-                  f"({prev.get('strength')} -> {strength}); re-running")
+            if bool(prev.get("real_data")) != bool(real):
+                # the real-data runbook (README): when IDX files land,
+                # synthetic-fallback cells re-run on real data instead of
+                # being silently skipped by the resume
+                print(f"data changed for {key} (real_data "
+                      f"{prev.get('real_data')} -> {real}); re-running")
+            else:
+                print(f"strength changed for {key} "
+                      f"({prev.get('strength')} -> {strength}); re-running")
         try:
             val = fn()
         except KeyboardInterrupt:

@@ -61,6 +61,29 @@ def bench_recon(run_fn, batch, image_shape, label=None, repeats=3,
     return v
 
 
+def run_spec(legs, runners, only=(), label="queue", qdir=None):
+    """Data-driven queue: legs are rows of a table, not one function per
+    step (VERDICT round-3 weak #7 — queue files were accreting ~25
+    one-shot scripts).
+
+    legs:    iterable of dicts {"name": ..., "run": <runner key>,
+             **params}; params pass to the runner as kwargs.
+    runners: dict runner-key -> callable(**params).
+    qdir:    override the .done-marker directory (default QDIR).
+    Delegates to run_steps for markers/crash isolation/resume.
+    """
+    if qdir is not None:
+        global QDIR
+        QDIR = qdir
+    steps = []
+    for leg in legs:
+        leg = dict(leg)
+        name = leg.pop("name")
+        runner = runners[leg.pop("run")]
+        steps.append((name, lambda r=runner, kw=leg: r(**kw)))
+    run_steps(steps, only=only, label=label)
+
+
 def run_steps(steps, only=(), label="queue"):
     """Run (name, fn) steps with .done markers + per-step crash isolation;
     exits 1 if any step failed (so a retry loop can resume)."""

@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Round-4 chip queue — ONE data-driven spec (VERDICT round-3 weak #7:
+queue files were accreting one script per letter; from round 4 on, a
+round's chip work is rows in a LEGS table on queue_lib.run_spec).
+
+Legs, in priority order (each crash-isolated and resumable via .done
+markers in output/round3_queue/ — the single marker namespace shared
+with the nested round-3 queues):
+
+  int8_gate     scripts/int8_validate.py — re-validates the int8 kernel
+                on the current flagship checkpoint AND writes the
+                per-checkpoint gate stamp (checkpoints/int8_gate.json)
+                that bench.py's auto int8 promotion now requires.
+  bench_line    python bench.py --max_wait 0 (the queue only starts when
+                the backend is healthy; the probe subprocess would fight
+                this process for the chip) — builder-run capture of the
+                headline + deep JSON line.
+  queue_t/u/v/w the four round-3 queues the 2026-08-17 TPU outage
+                stranded (VERDICT item 2): two-sided detection frontier,
+                paper-era grid stats, centered-penalty counter-attack,
+                serving-latency curves. Committed + CPU-verified; each
+                manages its own sub-step markers, so reruns resume.
+  serving_ab    ShardedDefenseGAN over mesh(1) vs bare DefenseGAN at
+                equal batches (VERDICT item 5): the shard_map wrapper
+                overhead an operator pays on one chip. Bare control rows
+                come from the same serving_bench so the pair shares a
+                process/compile environment.
+  stream64      the 64x64 single-level HBM-streaming fused-block probe
+                (VERDICT item 6): confirm or kill the priced ~1.5x over
+                deep celeba before deciding TODO #1.
+
+Run: python scripts/round4_queue.py [only_leg ...]   (cwd=/root/repo)
+"""
+
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(1, os.path.join(ROOT, "scripts"))
+
+from defensegan_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+import queue_lib  # noqa: E402
+
+
+def _script(path, argv=()):
+    queue_lib.run_script(path, list(argv))
+
+
+RUNNERS = {"script": _script}
+
+SERVING_AB = ["--cfg", "output/gans/mnist_fast", "--model", "A",
+              "--batches", "256", "4096", "16384", "--repeats", "3"]
+
+LEGS = [
+    {"name": "int8_gate", "run": "script",
+     "path": "scripts/int8_validate.py"},
+    {"name": "bench_line", "run": "script", "path": "bench.py",
+     "argv": ["--max_wait", "0"]},
+    {"name": "queue_t", "run": "script",
+     "path": "scripts/round3_queue_t.py"},
+    {"name": "queue_u", "run": "script",
+     "path": "scripts/round3_queue_u.py"},
+    {"name": "queue_v", "run": "script",
+     "path": "scripts/round3_queue_v.py"},
+    {"name": "queue_w", "run": "script",
+     "path": "scripts/round3_queue_w.py"},
+    {"name": "serving_ab_bare", "run": "script",
+     "path": "scripts/serving_bench.py", "argv": SERVING_AB},
+    {"name": "serving_ab_sharded", "run": "script",
+     "path": "scripts/serving_bench.py", "argv": SERVING_AB + ["--sharded"]},
+    # the R=1/L=200 fresh-z0 operating point (RESULTS.md: matches R=10 CW
+    # robustness at ~10x throughput) — what a latency-bound operator runs
+    {"name": "serving_r1_flagship", "run": "script",
+     "path": "scripts/serving_bench.py",
+     "argv": SERVING_AB + ["--rec_rr", "1"]},
+    {"name": "stream64", "run": "script",
+     "path": "scripts/stream64_probe.py"},
+]
+
+if __name__ == "__main__":
+    queue_lib.run_spec(LEGS, RUNNERS, only=sys.argv[1:],
+                       label="round4 queue")

@@ -47,6 +47,16 @@ def main(argv=None):
     ap.add_argument("--kernel", default=None,
                     help="rec_kernel override per predict (default: cfg "
                     "auto dispatch)")
+    ap.add_argument("--rec_rr", type=int, default=None,
+                    help="restart-count override (e.g. 1: the fresh-z0 "
+                    "R=1/L=200 serving operating point — RESULTS.md shows "
+                    "it matches R=10 CW robustness at ~10x throughput)")
+    ap.add_argument("--rec_iters", type=int, default=None)
+    ap.add_argument("--sharded", action="store_true",
+                    help="serve through ShardedDefenseGAN over the full "
+                    "device mesh (on one chip: mesh(1) — measures the "
+                    "shard_map wrapper overhead vs the bare DefenseGAN at "
+                    "equal batch, VERDICT round-3 item 5)")
     ap.add_argument("--fpr", type=float, default=0.05)
     ap.add_argument("--detector", default="two_sided",
                     choices=["two_sided", "one_sided"])
@@ -66,6 +76,14 @@ def main(argv=None):
 
     cfg = load_config(args.cfg)
     gan = load_gan(cfg, require_trained=True)
+    serve_gan = gan
+    if args.sharded:
+        from defensegan_tpu.parallel import ShardedDefenseGAN, make_mesh
+
+        mesh = make_mesh()
+        serve_gan = ShardedDefenseGAN(gan, mesh)
+        print(f"serving through ShardedDefenseGAN over {mesh.devices.size} "
+              "device(s)")
     ds = load_data(cfg)
     # memory-lean calibration slice: only calib_n images are needed, and
     # load("train") would materialize the full split as float32 (~8 GB for
@@ -83,9 +101,12 @@ def main(argv=None):
                          "matching whitebox cell first (it trains + caches)")
     print(f"loaded classifier {tag}")
 
-    pipe = DefendedPipeline(gan, clf.logits_fn(), fpr=args.fpr,
+    pipe = DefendedPipeline(serve_gan, clf.logits_fn(), fpr=args.fpr,
                             detector=args.detector,
+                            rec_rr=args.rec_rr, rec_iters=args.rec_iters,
                             rec_kernel=args.kernel)
+    rr = args.rec_rr if args.rec_rr is not None else cfg.rec_rr
+    iters = args.rec_iters if args.rec_iters is not None else cfg.rec_iters
     t0 = time.perf_counter()
     pipe.calibrate(x_calib, key=jax.random.key(101))
     print(f"calibrated {args.detector} detector on {args.calib_n} clean "
@@ -99,7 +120,7 @@ def main(argv=None):
         reps = int(np.ceil(b / x_test.shape[0]))
         x = np.tile(x_test, (reps,) + (1,) * (x_test.ndim - 1))[:b]
         resolved = resolve_projection_kernel(
-            gan, n=b * cfg.rec_rr, requested=args.kernel or
+            gan, n=b * rr, requested=args.kernel or
             cfg.projection_kernel)
         pipe.predict(x, key=jax.random.key(0), batch_size=b)  # warm/compile
         times = []
@@ -112,13 +133,14 @@ def main(argv=None):
         row = {
             "script": "serving_bench", "dataset": cfg.type,
             "model": args.model, "batch": b,
-            "kernel": resolved, "rec_rr": cfg.rec_rr,
-            "rec_iters": cfg.rec_iters, "detector": args.detector,
+            "kernel": resolved, "rec_rr": rr,
+            "rec_iters": iters, "detector": args.detector,
             "latency_ms_min": round(min(times) * 1e3, 2),
             "latency_ms_median": round(float(np.median(times)) * 1e3, 2),
             "images_per_s": round(b / min(times), 2),
             "clean_flag_rate": flag_rate,
             "repeats": args.repeats,
+            "sharded": bool(args.sharded),
         }
         rows.append(row)
         append_jsonl(out_path, row)

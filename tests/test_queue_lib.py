@@ -55,3 +55,45 @@ def test_keyboard_interrupt_propagates(tmp_path, monkeypatch):
 
     with pytest.raises(KeyboardInterrupt):
         queue_lib.run_steps([("x", interrupted)])
+
+
+def test_run_spec_data_driven_legs(tmp_path, monkeypatch):
+    """run_spec turns a LEGS table into steps (round-4 queue pattern):
+    params pass to the named runner as kwargs, qdir overrides the marker
+    dir, and late-bound closures must not alias the loop variable."""
+    monkeypatch.chdir(tmp_path)
+    # run_spec(qdir=...) assigns the module global; register the current
+    # value with monkeypatch so it is restored after this test
+    monkeypatch.setattr(queue_lib, "QDIR", queue_lib.QDIR)
+    calls = []
+    runners = {"rec": lambda **kw: calls.append(kw)}
+    legs = [
+        {"name": "a", "run": "rec", "x": 1},
+        {"name": "b", "run": "rec", "x": 2, "y": "z"},
+    ]
+    with pytest.raises(SystemExit) as e:
+        queue_lib.run_spec(legs, runners, qdir=str(tmp_path / "q4"))
+    assert e.value.code == 0
+    assert calls == [{"x": 1}, {"x": 2, "y": "z"}]
+    assert os.path.exists(tmp_path / "q4" / "a.done")
+    assert os.path.exists(tmp_path / "q4" / "b.done")
+    # the legs list itself must be left un-mutated (it is a shared spec)
+    assert legs[0] == {"name": "a", "run": "rec", "x": 1}
+
+
+def test_round4_queue_spec_parses():
+    """The round-4 LEGS table references runners that exist and scripts
+    that are on disk (catch a typo'd path before chip time is spent)."""
+    import importlib.util
+
+    path = os.path.join(ROOT, "scripts", "round4_queue.py")
+    spec = importlib.util.spec_from_file_location("round4_queue_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    names = set()
+    for leg in mod.LEGS:
+        assert leg["run"] in mod.RUNNERS
+        assert leg["name"] not in names, f"duplicate leg {leg['name']}"
+        names.add(leg["name"])
+        if "path" in leg:
+            assert os.path.exists(os.path.join(ROOT, leg["path"])), leg
