@@ -79,6 +79,17 @@ LEGS = [
      "argv": SERVING_AB + ["--rec_rr", "1"]},
     {"name": "stream64", "run": "script",
      "path": "scripts/stream64_probe.py"},
+    # the full fused 64x64 projection kernel built on the probe's
+    # machinery (CPU-numerics-validated, tests/test_fused_v4.py): quality
+    # gate + A/B vs the XLA path on both 64x64 archs. Run AFTER stream64:
+    # if the probe kills the 1.5x, these two stay pending and TODO #1
+    # closes with the probe's number alone.
+    {"name": "v4_celeba_deep", "run": "script",
+     "path": "scripts/fused_projection_v4_exp.py",
+     "argv": ["--cfg", "output/gans/celeba"]},
+    {"name": "v4_celeba_wide", "run": "script",
+     "path": "scripts/fused_projection_v4_exp.py",
+     "argv": ["--cfg", "output/gans/celeba_wide"]},
 ]
 
 if __name__ == "__main__":
