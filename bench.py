@@ -232,7 +232,7 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--kernel",
                     choices=["auto", "xla", "packed", "pallas",
-                             "pallas_int8"],
+                             "pallas_int8", "pallas_v4"],
                     default="auto")
     ap.add_argument("--trace", default=None, metavar="DIR",
                     help="capture a jax.profiler trace of one headline "

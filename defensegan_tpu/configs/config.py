@@ -65,6 +65,9 @@ class Config:
     #            v3). Opt-in because quantized defense quality is gated
     #            per checkpoint (scripts/int8_validate.py, tie-aware
     #            metric) rather than assumed transferable.
+    #   pallas_v4 = OPT-IN fused loop for multi-deconv 64x64 stacks
+    #            (fused_projection_v4.py); opt-in until its on-chip gate
+    #            + A/B pass (scripts/fused_projection_v4_exp.py)
     #   pallas* degrade to the per-topology best XLA path when the
     #   topology/batch isn't covered (gan/defense_gan.py
     #   resolve_projection_kernel — the single source of truth)

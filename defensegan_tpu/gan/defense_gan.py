@@ -46,14 +46,18 @@ def resolve_projection_kernel(gan, *, n: int, back_prop: bool = False,
     duplicated this logic and could drift).
 
     n = batch * rec_rr (the Pallas kernels' grid-divisibility input).
-    Returns one of 'pallas' | 'pallas_int8' | 'packed' | 'xla', where the
-    two pallas values are guaranteed runnable for this (topology, n,
-    back_prop, backend); every guard failure degrades to the measured
-    per-arch best XLA path ('packed' for wide, 'xla' for deep —
-    RESULTS.md), never the slowest generic path.
+    Returns one of 'pallas' | 'pallas_int8' | 'pallas_v4' | 'packed' |
+    'xla', where the pallas values are guaranteed runnable for this
+    (topology, n, back_prop, backend); every guard failure degrades to
+    the measured per-arch best XLA path ('packed' for wide, 'xla' for
+    deep — RESULTS.md), never the slowest generic path. pallas_v4 (the
+    multi-deconv 64x64 fused loop) is OPT-IN like pallas_int8: auto
+    never resolves to it until its on-chip gate + A/B pass (RESULTS.md
+    records the decision; scripts/fused_projection_v4_exp.py).
     """
     from defensegan_tpu.kernels import (dense_kernel_available,
-                                        s2d_kernel_available)
+                                        s2d_kernel_available,
+                                        v4_kernel_available)
     cfg = gan.cfg
     if requested is None:
         requested = cfg.projection_kernel
@@ -75,9 +79,13 @@ def resolve_projection_kernel(gan, *, n: int, back_prop: bool = False,
         # data-dependent — request projection_kernel=pallas_int8 explicitly
         # (bench.py does, after the gate) to claim the 1.53x.
         kernel = "pallas" if (on_tpu and not back_prop) else xla_best
-    if kernel in ("pallas", "pallas_int8"):
+    if kernel in ("pallas", "pallas_int8", "pallas_v4"):
         if back_prop or not on_tpu:
             # no Mosaic off-TPU; attack graphs need the differentiable path
+            return xla_best
+        if kernel == "pallas_v4":
+            if v4_kernel_available(gan) and n % 32 == 0:
+                return kernel
             return xla_best
         if dense_kernel_available(gan) and n % 256 == 0:
             return kernel
@@ -161,6 +169,15 @@ class DefenseGAN:
         kernel = resolve_projection_kernel(self, n=x.shape[0] * rr,
                                            back_prop=back_prop,
                                            requested=kernel)
+        if kernel == "pallas_v4":
+            from defensegan_tpu.kernels import make_v4_reconstructor
+            sig = ("pallas-v4", rr, iters, lr)
+            if sig not in self._reconstructors:
+                self._reconstructors[sig] = make_v4_reconstructor(
+                    self, rec_rr=rr, rec_iters=iters, rec_lr=lr,
+                    momentum=cfg.rec_momentum, tile=32)
+            return self._reconstructors[sig](x, key)
+
         if kernel in ("pallas", "pallas_int8"):
             from defensegan_tpu.kernels import (
                 dense_kernel_available,

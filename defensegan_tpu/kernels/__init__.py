@@ -12,6 +12,10 @@ R x L momentum-GD loop VMEM-resident and beat the XLA scan on a v5e chip
     space-to-depth form — convs as tap matmuls + static row shifts
     (1131 recon/s vs 896 XLA; the 1000 BASELINE target falls on the
     reference-faithful topology).
+  - fused_projection_v4: the multi-deconv 64x64 stacks (celeba/
+    imagenet64 deep and wide) as per-level grid-convs with in-kernel
+    interleaves and a folded out level. OPT-IN (pallas_v4) until its
+    on-chip gate + A/B pass (round 4; scripts/fused_projection_v4_exp.py).
 
 Round 1's tap-loop kernel and im2col matmul generator were superseded by
 v2/v3 and removed (their post-mortems live in RESULTS.md).
@@ -28,6 +32,10 @@ from defensegan_tpu.kernels.fused_projection_v3 import (
     make_pallas_s2d_reconstructor,
     s2d_kernel_available,
 )
+from defensegan_tpu.kernels.fused_projection_v4 import (
+    make_v4_reconstructor,
+    v4_kernel_available,
+)
 
 __all__ = [
     "dense_kernel_available",
@@ -35,4 +43,6 @@ __all__ = [
     "make_pallas_dense_int8_reconstructor",
     "s2d_kernel_available",
     "make_pallas_s2d_reconstructor",
+    "v4_kernel_available",
+    "make_v4_reconstructor",
 ]

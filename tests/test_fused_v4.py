@@ -16,10 +16,39 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 sys.path.insert(1, os.path.join(ROOT, "scripts"))
 
-import fused_projection_v4_exp as v4  # noqa: E402
+import defensegan_tpu.kernels.fused_projection_v4 as v4  # noqa: E402
 
 from defensegan_tpu.configs import Config  # noqa: E402
 from defensegan_tpu.gan import DefenseGAN  # noqa: E402
+from defensegan_tpu.gan.defense_gan import resolve_projection_kernel  # noqa: E402
+
+
+def test_pallas_v4_resolution_is_opt_in():
+    cfg = Config(type="celeba", gen_dim=4, latent_dim=16, image_size=64,
+                 channels=3)
+    gan = DefenseGAN(cfg)
+    # opt-in: runnable shapes resolve to v4 on TPU...
+    assert resolve_projection_kernel(gan, n=64, requested="pallas_v4",
+                                     on_tpu=True) == "pallas_v4"
+    # ... but auto NEVER resolves to v4 (not gated on-chip yet): 64x64
+    # multi-deconv degrades through the pallas guards to best-XLA
+    assert resolve_projection_kernel(gan, n=64, requested="auto",
+                                     on_tpu=True) == "xla"
+    # guard failures degrade: off-TPU, attack graphs, non-tile batch
+    assert resolve_projection_kernel(gan, n=64, requested="pallas_v4",
+                                     on_tpu=False) == "xla"
+    assert resolve_projection_kernel(gan, n=64, requested="pallas_v4",
+                                     on_tpu=True, back_prop=True) == "xla"
+    assert resolve_projection_kernel(gan, n=33, requested="pallas_v4",
+                                     on_tpu=True) == "xla"
+    # the single-deconv wide MNIST arch is out of v4's domain
+    wide = DefenseGAN(Config(type="mnist", gen_dim=4, latent_dim=8,
+                             gen_arch="wide"))
+    assert resolve_projection_kernel(wide, n=64, requested="pallas_v4",
+                                     on_tpu=True) == "packed"
+    # exp script re-exports the package implementation (single copy)
+    import fused_projection_v4_exp as exp
+    assert exp.make_v4_reconstructor is v4.make_v4_reconstructor
 
 
 def _gan(arch, **kw):
