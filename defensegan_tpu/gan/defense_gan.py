@@ -84,7 +84,9 @@ def resolve_projection_kernel(gan, *, n: int, back_prop: bool = False,
             # no Mosaic off-TPU; attack graphs need the differentiable path
             return xla_best
         if kernel == "pallas_v4":
-            if v4_kernel_available(gan) and n % 32 == 0:
+            from defensegan_tpu.kernels.fused_projection_v4 import \
+                v4_tile_for
+            if v4_kernel_available(gan) and n % v4_tile_for(gan) == 0:
                 return kernel
             return xla_best
         if dense_kernel_available(gan) and n % 256 == 0:
@@ -171,11 +173,13 @@ class DefenseGAN:
                                            requested=kernel)
         if kernel == "pallas_v4":
             from defensegan_tpu.kernels import make_v4_reconstructor
+            from defensegan_tpu.kernels.fused_projection_v4 import \
+                v4_tile_for
             sig = ("pallas-v4", rr, iters, lr)
             if sig not in self._reconstructors:
                 self._reconstructors[sig] = make_v4_reconstructor(
                     self, rec_rr=rr, rec_iters=iters, rec_lr=lr,
-                    momentum=cfg.rec_momentum, tile=32)
+                    momentum=cfg.rec_momentum, tile=v4_tile_for(self))
             return self._reconstructors[sig](x, key)
 
         if kernel in ("pallas", "pallas_int8"):

@@ -61,10 +61,18 @@ from defensegan_tpu.kernels.fused_projection_v3 import (_tap_masks,
 
 def v4_kernel_available(gan) -> bool:
     """v4 covers multi-deconv stacks (len(channels) >= 2) up to the
-    celeba-deep width (channels[0] <= 512: weights + per-tile activations
-    must stay VMEM-resident; validated at dim 64, ~2x headroom)."""
+    imagenet64-deep width (channels[0] <= 768: weights + per-tile
+    activations must stay VMEM-resident; v4_tile_for halves the tile
+    above the celeba-deep width to keep the live set in budget)."""
     gen = gan.generator
-    return len(gen.channels) >= 2 and gen.channels[0] <= 512
+    return len(gen.channels) >= 2 and gen.channels[0] <= 768
+
+
+def v4_tile_for(gan) -> int:
+    """Per-arch kernel tile: 32 latents fits celeba-deep-and-below
+    (~50 MB live at dim 64); the imagenet64 widths (channels[0] > 512,
+    ~70 MB of weights alone) drop to 16."""
+    return 16 if gan.generator.channels[0] > 512 else 32
 
 
 class V4Pack:

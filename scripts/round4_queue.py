@@ -90,6 +90,12 @@ LEGS = [
     {"name": "v4_celeba_wide", "run": "script",
      "path": "scripts/fused_projection_v4_exp.py",
      "argv": ["--cfg", "output/gans/celeba_wide"]},
+    # imagenet64 widths (channels[0]=768) run at tile 16; only reached if
+    # the celeba legs already proved v4 out
+    {"name": "v4_imagenet64", "run": "script",
+     "path": "scripts/fused_projection_v4_exp.py",
+     "argv": ["--cfg", "output/gans/imagenet64", "--tile", "16",
+              "--batch", "256"]},
 ]
 
 if __name__ == "__main__":
