@@ -50,12 +50,41 @@ def _script(path, argv=()):
     queue_lib.run_script(path, list(argv))
 
 
-RUNNERS = {"script": _script}
+def _train(cfg_yml, iters, extra=()):
+    queue_lib.run_script("train.py", [
+        "--cfg", f"defensegan_tpu/configs/gans/{cfg_yml}", "--is_train",
+        "--train_iters", str(iters),
+        "--override", "SAVE_EVERY=5000", "--override", "SAMPLE_EVERY=5000",
+        *extra])
+
+
+RUNNERS = {"script": _script, "train": lambda **kw: _train(**kw)}
 
 SERVING_AB = ["--cfg", "output/gans/mnist_fast", "--model", "A",
               "--batches", "256", "4096", "16384", "--repeats", "3"]
 
 LEGS = [
+    # -- retrain: output/**/checkpoints/ is gitignored, so every fresh
+    # session machine starts with the GAN weights WIPED (this bit round 2
+    # and again at round-4 queue start: the int8 leg came up "random
+    # init").  All measurement legs below need trained weights; configs
+    # are seed-0 deterministic, so retraining reproduces the wiped
+    # checkpoints up to hardware reduction noise.  Iteration counts are
+    # the round-2/3 measurement protocols, not the YAML maxima.
+    {"name": "train_mnist_fast", "run": "train",
+     "cfg_yml": "mnist_fast.yml", "iters": 20000},
+    {"name": "train_mnist_deep", "run": "train",
+     "cfg_yml": "mnist.yml", "iters": 20000},
+    {"name": "train_digits", "run": "train",
+     "cfg_yml": "digits.yml", "iters": 10000},
+    {"name": "train_fmnist", "run": "train",
+     "cfg_yml": "fmnist.yml", "iters": 20000},
+    {"name": "train_celeba", "run": "train",
+     "cfg_yml": "celeba.yml", "iters": 10000},
+    {"name": "train_celeba_wide", "run": "train",
+     "cfg_yml": "celeba_wide.yml", "iters": 10000},
+    {"name": "train_imagenet64", "run": "train",
+     "cfg_yml": "imagenet64.yml", "iters": 5000},
     {"name": "int8_gate", "run": "script",
      "path": "scripts/int8_validate.py"},
     {"name": "bench_line", "run": "script", "path": "bench.py",
