@@ -171,6 +171,29 @@ class DefenseGAN:
         kernel = resolve_projection_kernel(self, n=x.shape[0] * rr,
                                            back_prop=back_prop,
                                            requested=kernel)
+        fn, mode = self._reconstructor_for(kernel, rr, iters, lr, back_prop)
+        if mode == "xk":
+            return fn(x, key)
+        z0 = sample_z0(key, x.shape[0], rr, cfg.latent_dim)
+        if mode == "xz":
+            return fn(x, z0)
+        return fn(self.state.gen_params, self.state.gen_stats, x, z0)
+
+    def _reconstructor_for(self, kernel: str, rr: int, iters: int,
+                           lr: float, back_prop: bool):
+        """Build (or fetch from cache) the projection program for a
+        RESOLVED kernel; returns (fn, mode) where mode says how to call:
+        "xk" -> fn(x, key); "xz" -> fn(x, z0); "pxz" -> fn(params, stats,
+        x, z0).
+
+        Builders pack concrete weights via numerical probes and host
+        conversions (np.asarray), so they MUST run outside any trace.
+        Callers that trace over this gan (parallel/serving.py's shard_map
+        body) call this eagerly first to warm the cache — a cold build
+        inside the trace is a TracerArrayConversionError on the real
+        chip (round-4 serving_ab_sharded leg).
+        """
+        cfg = self.cfg
         if kernel == "pallas_v4":
             from defensegan_tpu.kernels import make_v4_reconstructor
             from defensegan_tpu.kernels.fused_projection_v4 import \
@@ -180,7 +203,7 @@ class DefenseGAN:
                 self._reconstructors[sig] = make_v4_reconstructor(
                     self, rec_rr=rr, rec_iters=iters, rec_lr=lr,
                     momentum=cfg.rec_momentum, tile=v4_tile_for(self))
-            return self._reconstructors[sig](x, key)
+            return self._reconstructors[sig], "xk"
 
         if kernel in ("pallas", "pallas_int8"):
             from defensegan_tpu.kernels import (
@@ -197,14 +220,14 @@ class DefenseGAN:
                     self._reconstructors[sig] = make(
                         self, rec_rr=rr, rec_iters=iters, rec_lr=lr,
                         momentum=cfg.rec_momentum, tile=256)
-                return self._reconstructors[sig](x, key)
+                return self._reconstructors[sig], "xk"
             sig = ("pallas-v3", rr, iters, lr)
             if sig not in self._reconstructors:
                 self._reconstructors[sig] = \
                     make_pallas_s2d_reconstructor(
                         self, rec_rr=rr, rec_iters=iters, rec_lr=lr,
                         momentum=cfg.rec_momentum, tile=64)
-            return self._reconstructors[sig](x, key)
+            return self._reconstructors[sig], "xk"
 
         if kernel == "packed":
             # BN-folded packed generator on the FLAT image space
@@ -246,8 +269,7 @@ class DefenseGAN:
                     return res._replace(x_hat=x_hat.reshape(
                         (x.shape[0],) + tuple(img_shape)))
                 self._reconstructors[sig] = run
-            z0 = sample_z0(key, x.shape[0], rr, cfg.latent_dim)
-            return self._reconstructors[sig](x, z0)
+            return self._reconstructors[sig], "xz"
 
         sig = (rr, iters, lr, back_prop)
         if sig not in self._reconstructors:
@@ -261,9 +283,7 @@ class DefenseGAN:
                                    back_prop=back_prop,
                                    unroll=cfg.rec_unroll)
             self._reconstructors[sig] = jax.jit(run)
-        z0 = sample_z0(key, x.shape[0], rr, cfg.latent_dim)
-        return self._reconstructors[sig](self.state.gen_params,
-                                         self.state.gen_stats, x, z0)
+        return self._reconstructors[sig], "pxz"
 
     # ------------------------------------------------------------- training
     def train(self, images: np.ndarray, *, mesh=None,

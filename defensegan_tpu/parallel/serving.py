@@ -112,6 +112,14 @@ class ShardedDefenseGAN:
         sig = (x.shape[0], rr, iters, lr, kernel)
         if sig not in self._cache:
             gan = self.gan
+            # build the single-chip program EAGERLY, before the shard_map
+            # trace: kernel/packed builders extract concrete weights via
+            # numerical probes + np.asarray, which is a
+            # TracerArrayConversionError if the first build happens inside
+            # the traced body (hit on the real chip, round-4
+            # serving_ab_sharded — the CPU tests masked it because their
+            # exact-match control had already warmed the same cache)
+            gan._reconstructor_for(kernel, rr, iters, lr, False)
 
             def local(xb, k):
                 kb = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))

@@ -118,3 +118,26 @@ def test_pipeline_over_sharded_gan(eight_devices):
     assert np.all(np.isfinite(out.rec_err))
     # on-manifold inputs under a matched-FPR calibration: not all flagged
     assert out.flagged.sum() < 16
+
+
+def test_sharded_first_call_builds_kernel_outside_trace(eight_devices):
+    """The FIRST sharded call with a cold reconstructor cache must not
+    build the packed/Pallas program inside the shard_map trace: packers
+    extract concrete weights via numerical probes + np.asarray, which is
+    a TracerArrayConversionError under tracing (hit on the real chip,
+    round-4 serving_ab_sharded; earlier CPU tests masked it because
+    their single-chip exact-match control warmed the cache first)."""
+    gan = _tiny_gan()
+    mesh = make_mesh()
+    sharded = ShardedDefenseGAN(gan, mesh)
+    assert not gan._reconstructors  # cache genuinely cold
+    x = np.random.RandomState(1).rand(
+        mesh.devices.size, 28, 28, 1).astype(np.float32)
+    # "packed" is the host-conversion-heaviest builder that runs on CPU
+    res = sharded.reconstruct(x, jax.random.key(3), kernel="packed")
+    assert np.asarray(res.x_hat).shape == x.shape
+    # the warmed single-chip program must agree with per-shard replay
+    r0 = gan.reconstruct(x[:1], jax.random.fold_in(jax.random.key(3), 0),
+                         kernel="packed")
+    np.testing.assert_allclose(np.asarray(res.x_hat[:1]),
+                               np.asarray(r0.x_hat), rtol=1e-5, atol=1e-6)
