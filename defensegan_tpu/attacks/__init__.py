@@ -11,7 +11,10 @@ attack-through-the-defense of the paper.
 Beyond the reference's suite: PGD (pgd.py, Madry et al.) and BPDA
 gradients (compose.py grad_mode="bpda", Athalye et al. 2018) — together
 the canonical adaptive attack on purification defenses, with EOT-style
-per-step restart keys against the stochastic defense.
+per-step restart keys against the stochastic defense — plus SPSA
+(spsa.py, Uesato et al. 2018), the gradient-FREE adaptive attack that
+needs no differentiable path at all and therefore attacks the defense
+exactly as deployed (fast inference kernels included).
 """
 
 from defensegan_tpu.attacks.fgsm import fgsm, rand_fgsm
@@ -26,6 +29,7 @@ from defensegan_tpu.attacks.compose import (attack_batch_key, attack_z0_key,
                                             make_attack_loss,
                                             make_attack_target,
                                             split_rand_fgsm_key)
+from defensegan_tpu.attacks.spsa import make_spsa, margin_loss
 
 __all__ = [
     "attack_batch_key",
@@ -44,4 +48,6 @@ __all__ = [
     "make_chunked_cw",
     "jacobian_augmentation",
     "train_substitute",
+    "make_spsa",
+    "margin_loss",
 ]

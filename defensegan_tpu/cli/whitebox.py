@@ -87,11 +87,15 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     add_cfg_args(ap)
     ap.add_argument("--attack_type", default="fgsm",
-                    choices=["fgsm", "rand_fgsm", "cw", "pgd", "none"],
+                    choices=["fgsm", "rand_fgsm", "cw", "pgd", "spsa",
+                             "none"],
                     help="fgsm/rand_fgsm/cw: the reference's attack suite; "
                     "pgd: beyond-reference (Madry et al.) — pair with "
                     "--attack_grad bpda for the Athalye et al. adaptive "
-                    "attack on this defense")
+                    "attack on this defense; spsa: gradient-FREE (Uesato "
+                    "et al. 2018) — attacks the real non-differentiable "
+                    "inference path directly (no BPDA surrogate, fast "
+                    "kernels included)")
     ap.add_argument("--defense_type", default="defense_gan",
                     choices=["none", "defense_gan", "adv_tr"])
     ap.add_argument("--model", default="A", help="classifier A..F")
@@ -146,6 +150,19 @@ def main(argv=None):
                     "chunks of this many steps (0 = auto: chunk when "
                     "attacking THROUGH the defense so no device program "
                     "trips the TPU watchdog; -1 = never chunk)")
+    ap.add_argument("--spsa_iters", type=int, default=40,
+                    help="SPSA Adam steps (cleverhans SPSA lineage)")
+    ap.add_argument("--spsa_samples", type=int, default=32,
+                    help="Rademacher PAIRS per SPSA gradient estimate "
+                    "(each pair = two defended forwards)")
+    ap.add_argument("--spsa_delta", type=float, default=0.01,
+                    help="SPSA finite-difference probe radius")
+    ap.add_argument("--spsa_lr", type=float, default=0.01,
+                    help="SPSA Adam learning rate on the perturbation")
+    ap.add_argument("--spsa_chunk", type=int, default=8,
+                    help="probe pairs per device dispatch; each dispatch "
+                    "purifies spsa_chunk * attack_batch images per sign "
+                    "(bigger = better kernel occupancy, more memory)")
     ap.add_argument("--train_on_recs", action="store_true")
     ap.add_argument("--online_training", action="store_true",
                     help="alias kept for reference-CLI parity: train the "
@@ -231,6 +248,14 @@ def main(argv=None):
         ap.error("--eval_z0 both needs a single attack z0 to replay, but "
                  "--pgd_z0 per_step draws fresh z0 every PGD step (EOT); "
                  "use --pgd_z0 fixed for the replay leg")
+    if args.eval_z0 == "both" and args.attack_type == "spsa":
+        ap.error("--eval_z0 both needs a single attack z0 to replay, but "
+                 "spsa draws fresh defense keys per (iteration, probe "
+                 "chunk) — there is no one z0 to replay")
+    if args.attack_grad == "bpda" and args.attack_type == "spsa":
+        ap.error("spsa is gradient-free: it never differentiates through "
+                 "the defense, so --attack_grad bpda has no effect; drop "
+                 "the flag")
     if args.pgd_rec_penalty and (args.attack_type != "pgd"
                                  or args.defense_type != "defense_gan"
                                  or args.attack_through_defense != "yes"):
@@ -296,7 +321,12 @@ def main(argv=None):
     through_defense = (args.defense_type == "defense_gan"
                        and args.attack_type != "none"
                        and args.attack_through_defense == "yes")
-    if through_defense:
+    if through_defense and args.attack_type == "spsa":
+        # SPSA never differentiates: its defended target is the REAL
+        # inference path (back_prop=False — auto kernel dispatch, i.e.
+        # the Pallas kernels on TPU), built in the craft branch below.
+        attack_target = None
+    elif through_defense:
         # the attack differentiates through the unrolled projection
         # (back_prop=True), composed inside the attack's own jit. The
         # restart inits are seeded PER ATTACK BATCH (key argument; round-2
@@ -370,6 +400,37 @@ def main(argv=None):
                                rand_init=args.pgd_rand_init,
                                keyed_logits=through_defense,
                                per_step_keys=per_step, loss_fn=pgd_loss)
+        elif args.attack_type == "spsa":
+            from defensegan_tpu.attacks import make_spsa, margin_loss
+
+            if through_defense:
+                # the attacker's oracle is the DEPLOYED defended
+                # classifier: the cached inference projection program
+                # (auto kernel — Pallas on TPU) + classifier. Gradient
+                # attacks cannot use this path (not differentiable);
+                # SPSA's finite differences can — this is the only
+                # attack here that probes the exact serving bits.
+                post = jax.jit(lambda xh, y: margin_loss(logits_fn(xh), y))
+
+                def spsa_loss(x_flat, y_flat, k):
+                    x_hat = gan.reconstruct(x_flat, k,
+                                            rec_iters=attack_rec_iters
+                                            ).x_hat
+                    return post(x_hat, y_flat)
+            else:
+                spsa_loss_j = jax.jit(
+                    lambda xf, y, k: margin_loss(logits_fn(xf), y))
+
+                def spsa_loss(x_flat, y_flat, k):
+                    return spsa_loss_j(x_flat, y_flat, k)
+            spsa_attack = make_spsa(
+                spsa_loss, eps=args.fgsm_eps, nb_iter=args.spsa_iters,
+                n_samples=args.spsa_samples, delta=args.spsa_delta,
+                lr=args.spsa_lr, chunk_samples=args.spsa_chunk,
+                verbose=through_defense)
+
+            def craft(xb, yb, k):
+                return spsa_attack(xb, yb, k)
         else:  # cw
             cw_cfg = CWConfig(
                 binary_search_steps=args.cw_binary_search_steps,
@@ -424,8 +485,13 @@ def main(argv=None):
                 "attack_grad": (args.attack_grad if through_defense
                                 else None),
                 "attack_through_defense": args.attack_through_defense}
-        if args.attack_type in ("fgsm", "rand_fgsm", "pgd"):
+        if args.attack_type in ("fgsm", "rand_fgsm", "pgd", "spsa"):
             meta["fgsm_eps"] = args.fgsm_eps
+        if args.attack_type == "spsa":
+            meta.update(spsa_iters=args.spsa_iters,
+                        spsa_samples=args.spsa_samples,
+                        spsa_delta=args.spsa_delta,
+                        spsa_lr=args.spsa_lr)
         if args.attack_type == "pgd":
             meta.update(pgd_iters=args.pgd_iters,
                         pgd_eps_iter=args.pgd_eps_iter,
@@ -592,10 +658,21 @@ def main(argv=None):
                             if args.attack_type == "pgd" else None),
         "pgd_rec_center": (args.pgd_rec_center
                            if args.attack_type == "pgd" else None),
+        "spsa_iters": (args.spsa_iters
+                       if args.attack_type == "spsa" else None),
+        "spsa_samples": (args.spsa_samples
+                         if args.attack_type == "spsa" else None),
+        "spsa_delta": (args.spsa_delta
+                       if args.attack_type == "spsa" else None),
+        "spsa_lr": (args.spsa_lr
+                    if args.attack_type == "spsa" else None),
         "attack_through_defense": args.attack_through_defense,
-        "attack_grad": (args.attack_grad if through_defense else None),
-        "attack_z0": ((("per_step" if args.attack_type == "pgd"
-                        and args.pgd_z0 == "per_step" else "per_batch"))
+        "attack_grad": ("none" if args.attack_type == "spsa" else
+                        args.attack_grad) if through_defense else None,
+        "attack_z0": ((("per_step" if args.attack_type == "spsa"
+                        or (args.attack_type == "pgd"
+                            and args.pgd_z0 == "per_step")
+                        else "per_batch"))
                       if through_defense else None),
         "eval_z0": args.eval_z0,
         "train_on_recs": args.train_on_recs,
