@@ -46,6 +46,10 @@ def _lam(row):
         if lam:
             cen = row.get("pgd_rec_center")
             a += f" λ={lam:g}" + (f" c={cen:g}" if cen is not None else "")
+    elif a == "spsa":
+        it, ns = row.get("spsa_iters"), row.get("spsa_samples")
+        if it is not None:
+            a += f" T={it} n={ns}"
     return a
 
 
@@ -55,6 +59,8 @@ def whitebox_key(r):
             r.get("pgd_rec_penalty"), r.get("pgd_rec_center"),
             r.get("pgd_iters"), r.get("pgd_eps_iter"), r.get("pgd_z0"),
             r.get("cw_max_iterations"), r.get("cw_binary_search_steps"),
+            r.get("spsa_iters"), r.get("spsa_samples"),
+            r.get("spsa_delta"), r.get("spsa_lr"),
             r.get("attack_rec_iters"), r.get("eval_z0"),
             r.get("num_tests"), r.get("rec_rr"), r.get("rec_iters"))
 

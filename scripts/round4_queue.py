@@ -106,6 +106,22 @@ LEGS = [
     {"name": "serving_r1_flagship", "run": "script",
      "path": "scripts/serving_bench.py",
      "argv": SERVING_AB + ["--rec_rr", "1"]},
+    # SPSA (gradient-free, Uesato et al. 2018) through the deployed
+    # non-differentiable defense — the adaptive-attack family the round-4
+    # resume added. Pre-registered questions: (a) does a gradient-FREE
+    # attacker beat the defense where BPDA/EOT gradients fail? (b) do its
+    # adversarial examples evade the rec-error detector? Budgets sized to
+    # the kernel throughput (flagship rides pallas bf16, digits xla).
+    {"name": "spsa_flagship", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/mnist_fast", "--model", "A",
+              "--attack_type", "spsa", "--num_tests", "256",
+              "--attack_batch", "64", "--spsa_iters", "80",
+              "--spsa_samples", "64", "--spsa_chunk", "8", "--detect"]},
+    {"name": "spsa_digits", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/digits", "--model", "A",
+              "--attack_type", "spsa", "--num_tests", "128",
+              "--attack_batch", "64", "--spsa_iters", "40",
+              "--spsa_samples", "32", "--spsa_chunk", "8", "--detect"]},
     {"name": "stream64", "run": "script",
      "path": "scripts/stream64_probe.py"},
     # the full fused 64x64 projection kernel built on the probe's
