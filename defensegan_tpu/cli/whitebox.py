@@ -163,6 +163,22 @@ def main(argv=None):
                     help="probe pairs per device dispatch; each dispatch "
                     "purifies spsa_chunk * attack_batch images per sign "
                     "(bigger = better kernel occupancy, more memory)")
+    ap.add_argument("--spsa_rec_penalty", type=float, default=0.0,
+                    metavar="LAMBDA",
+                    help="detection-aware SPSA: subtract LAMBDA * rec_loss "
+                    "from the margin objective, so the gradient-free "
+                    "attacker optimizes the TRUE detector statistic (the "
+                    "projection's own final loss) — no BPDA surrogate, "
+                    "unlike --pgd_rec_penalty (requires "
+                    "--attack_type spsa --attack_through_defense yes + "
+                    "--defense_type defense_gan)")
+    ap.add_argument("--spsa_rec_center", type=float, default=None,
+                    metavar="C",
+                    help="with --spsa_rec_penalty: penalize |rec_loss - C| "
+                    "instead of rec_loss — the gradient-free counter to "
+                    "the TWO-SIDED detector (steer the statistic TO the "
+                    "clean median C); C is exactly the statistic the "
+                    "detector thresholds, measured, not differentiated")
     ap.add_argument("--train_on_recs", action="store_true")
     ap.add_argument("--online_training", action="store_true",
                     help="alias kept for reference-CLI parity: train the "
@@ -266,6 +282,16 @@ def main(argv=None):
     if args.pgd_rec_center is not None and not args.pgd_rec_penalty:
         ap.error("--pgd_rec_center shapes the --pgd_rec_penalty term; "
                  "set a nonzero --pgd_rec_penalty")
+    if args.spsa_rec_penalty and (args.attack_type != "spsa"
+                                  or args.defense_type != "defense_gan"
+                                  or args.attack_through_defense != "yes"):
+        ap.error("--spsa_rec_penalty penalizes the THROUGH-DEFENSE "
+                 "projection loss; it requires --attack_type spsa, "
+                 "--defense_type defense_gan, and "
+                 "--attack_through_defense yes")
+    if args.spsa_rec_center is not None and not args.spsa_rec_penalty:
+        ap.error("--spsa_rec_center shapes the --spsa_rec_penalty term; "
+                 "set a nonzero --spsa_rec_penalty")
     if args.detect and args.attack_type == "none":
         ap.error("--detect compares clean vs adversarial reconstruction "
                  "errors; it needs an --attack_type")
@@ -410,13 +436,35 @@ def main(argv=None):
                 # attacks cannot use this path (not differentiable);
                 # SPSA's finite differences can — this is the only
                 # attack here that probes the exact serving bits.
-                post = jax.jit(lambda xh, y: margin_loss(logits_fn(xh), y))
+                lam = args.spsa_rec_penalty
+                cen = args.spsa_rec_center
+                if lam:
+                    # detection-aware: res.loss IS the detector statistic
+                    # (eval/detect.py scores the same projection loss), so
+                    # the gradient-free attacker optimizes the true
+                    # detection margin — the --pgd_rec_penalty analogue
+                    # minus the BPDA approximation. freeze_on_success then
+                    # freezes on margin > lam*penalty, i.e. only examples
+                    # winning BOTH layers under the attack's own keys.
+                    def _pen(rl):
+                        return jnp.abs(rl - cen) if cen is not None else rl
+                    post = jax.jit(
+                        lambda xh, y, rl: margin_loss(logits_fn(xh), y)
+                        - lam * _pen(rl))
 
-                def spsa_loss(x_flat, y_flat, k):
-                    x_hat = gan.reconstruct(x_flat, k,
-                                            rec_iters=attack_rec_iters
-                                            ).x_hat
-                    return post(x_hat, y_flat)
+                    def spsa_loss(x_flat, y_flat, k):
+                        res = gan.reconstruct(x_flat, k,
+                                              rec_iters=attack_rec_iters)
+                        return post(res.x_hat, y_flat, res.loss)
+                else:
+                    post = jax.jit(
+                        lambda xh, y: margin_loss(logits_fn(xh), y))
+
+                    def spsa_loss(x_flat, y_flat, k):
+                        x_hat = gan.reconstruct(x_flat, k,
+                                                rec_iters=attack_rec_iters
+                                                ).x_hat
+                        return post(x_hat, y_flat)
             else:
                 spsa_loss_j = jax.jit(
                     lambda xf, y, k: margin_loss(logits_fn(xf), y))
@@ -491,7 +539,9 @@ def main(argv=None):
             meta.update(spsa_iters=args.spsa_iters,
                         spsa_samples=args.spsa_samples,
                         spsa_delta=args.spsa_delta,
-                        spsa_lr=args.spsa_lr)
+                        spsa_lr=args.spsa_lr,
+                        spsa_rec_penalty=args.spsa_rec_penalty,
+                        spsa_rec_center=args.spsa_rec_center)
         if args.attack_type == "pgd":
             meta.update(pgd_iters=args.pgd_iters,
                         pgd_eps_iter=args.pgd_eps_iter,
@@ -666,6 +716,10 @@ def main(argv=None):
                        if args.attack_type == "spsa" else None),
         "spsa_lr": (args.spsa_lr
                     if args.attack_type == "spsa" else None),
+        "spsa_rec_penalty": (args.spsa_rec_penalty
+                             if args.attack_type == "spsa" else None),
+        "spsa_rec_center": (args.spsa_rec_center
+                            if args.attack_type == "spsa" else None),
         "attack_through_defense": args.attack_through_defense,
         "attack_grad": ("none" if args.attack_type == "spsa" else
                         args.attack_grad) if through_defense else None,

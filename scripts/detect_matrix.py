@@ -50,6 +50,10 @@ def _lam(row):
         it, ns = row.get("spsa_iters"), row.get("spsa_samples")
         if it is not None:
             a += f" T={it} n={ns}"
+        lam = row.get("spsa_rec_penalty")
+        if lam:
+            cen = row.get("spsa_rec_center")
+            a += f" λ={lam:g}" + (f" c={cen:g}" if cen is not None else "")
     return a
 
 
@@ -61,6 +65,7 @@ def whitebox_key(r):
             r.get("cw_max_iterations"), r.get("cw_binary_search_steps"),
             r.get("spsa_iters"), r.get("spsa_samples"),
             r.get("spsa_delta"), r.get("spsa_lr"),
+            r.get("spsa_rec_penalty"), r.get("spsa_rec_center"),
             r.get("attack_rec_iters"), r.get("eval_z0"),
             r.get("num_tests"), r.get("rec_rr"), r.get("rec_iters"))
 

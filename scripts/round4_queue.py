@@ -122,6 +122,34 @@ LEGS = [
               "--attack_type", "spsa", "--num_tests", "128",
               "--attack_batch", "64", "--spsa_iters", "40",
               "--spsa_samples", "32", "--spsa_chunk", "8", "--detect"]},
+    # Detection-aware SPSA: the gradient-free attacker optimizes the TRUE
+    # two-sided detector statistic (margin - lam*|rec_err - clean_median|)
+    # with no BPDA surrogate. Pre-registered question: plain SPSA broke
+    # purification (0.023) but was 100% detected; centered BPDA-PGD evaded
+    # the detector but surrendered the attack (acc 1.0). Can gradient-free
+    # optimization of the exact deployed statistic find the joint win
+    # neither could? Centers = the clean medians the queue-V counter used.
+    {"name": "spsa_da_flagship_l30", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/mnist_fast", "--model", "A",
+              "--attack_type", "spsa", "--num_tests", "128",
+              "--attack_batch", "64", "--spsa_iters", "80",
+              "--spsa_samples", "64", "--spsa_chunk", "8",
+              "--spsa_rec_penalty", "30", "--spsa_rec_center", "0.033",
+              "--detect"]},
+    {"name": "spsa_da_flagship_l300", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/mnist_fast", "--model", "A",
+              "--attack_type", "spsa", "--num_tests", "128",
+              "--attack_batch", "64", "--spsa_iters", "80",
+              "--spsa_samples", "64", "--spsa_chunk", "8",
+              "--spsa_rec_penalty", "300", "--spsa_rec_center", "0.033",
+              "--detect"]},
+    {"name": "spsa_da_digits_l30", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/digits", "--model", "A",
+              "--attack_type", "spsa", "--num_tests", "128",
+              "--attack_batch", "64", "--spsa_iters", "40",
+              "--spsa_samples", "32", "--spsa_chunk", "8",
+              "--spsa_rec_penalty", "30", "--spsa_rec_center", "0.0017",
+              "--detect"]},
     {"name": "stream64", "run": "script",
      "path": "scripts/stream64_probe.py"},
     # the full fused 64x64 projection kernel built on the probe's

@@ -160,3 +160,89 @@ def test_whitebox_spsa_end_to_end(tmp_path, monkeypatch):
     lines = open(tmp_path / "results" /
                  "whitebox.jsonl").read().splitlines()
     assert json.loads(lines[-1])["attack"] == "spsa"
+
+
+def test_whitebox_spsa_rec_penalty_flag_validation():
+    from defensegan_tpu.cli import whitebox
+
+    # the penalty term is the through-defense projection loss
+    with pytest.raises(SystemExit):
+        whitebox.main(["--attack_type", "fgsm",
+                       "--spsa_rec_penalty", "1.0"])
+    with pytest.raises(SystemExit):
+        whitebox.main(["--attack_type", "spsa", "--defense_type", "none",
+                       "--spsa_rec_penalty", "1.0"])
+    # center without a penalty shapes nothing
+    with pytest.raises(SystemExit):
+        whitebox.main(["--attack_type", "spsa", "--defense_type",
+                       "defense_gan", "--spsa_rec_center", "0.03"])
+
+
+def test_spsa_penalized_loss_steers_the_detector_statistic():
+    """Detection-aware composition: with loss = margin - lam*|s(x) - c|
+    where s is a (stand-in) detector statistic, a large lam must drive
+    SPSA to reduce |s - c| relative to the margin-only attack.
+
+    Uses an analytic stand-in (s(x) = mean(x), margin = <w, x>) so the
+    test isolates the penalized-SPSA optimization itself from GAN
+    training noise; the CLI wiring is covered by the end-to-end test."""
+    key = jax.random.key(3)
+    w = jnp.ones((1,) + SHAPE)
+    x = jnp.full((2,) + SHAPE, 0.5)
+    labels = jnp.zeros((2,), jnp.int32)
+    center = 0.5  # s(x) = mean(x) starts exactly on target
+
+    def margin_only(x_flat, y_flat, k):
+        return jnp.sum(w * x_flat, axis=(1, 2, 3))
+
+    lam = 100.0
+
+    def penalized(x_flat, y_flat, k):
+        s = jnp.mean(x_flat, axis=(1, 2, 3))
+        return margin_only(x_flat, y_flat, k) - lam * jnp.abs(s - center)
+
+    kwargs = dict(eps=0.2, nb_iter=15, n_samples=16, delta=0.01, lr=0.05,
+                  freeze_on_success=False)
+    x_plain = make_spsa(margin_only, **kwargs)(x, labels, key)
+    x_pen = make_spsa(penalized, **kwargs)(x, labels, key)
+
+    # margin-only saturates the ball upward: s ~= 0.7, far from center
+    drift_plain = abs(float(jnp.mean(x_plain)) - center)
+    drift_pen = abs(float(jnp.mean(x_pen)) - center)
+    assert drift_plain > 0.15
+    assert drift_pen < 0.25 * drift_plain
+
+
+@pytest.mark.slow
+def test_whitebox_spsa_rec_penalty_end_to_end(tmp_path, monkeypatch):
+    """Detection-aware SPSA through a micro GAN: record carries the
+    penalty fields and the run completes on the non-differentiable
+    defended path with the centered penalty in the loss."""
+    monkeypatch.chdir(tmp_path)
+    import os
+
+    from defensegan_tpu.cli import train, whitebox
+
+    cfg_yml = os.path.join(os.path.dirname(__file__), "..",
+                           "defensegan_tpu", "configs", "gans", "mnist.yml")
+    out = str(tmp_path / "run")
+    train.main(["--cfg", cfg_yml, "--output_dir", out, "--is_train",
+                "--train_iters", "10",
+                "--override", "GEN_DIM=8", "--override", "DISC_DIM=8",
+                "--override", "LATENT_DIM=16", "--override", "DISC_ITERS=1",
+                "--override", "COMPUTE_DTYPE=float32",
+                "--override", "SAMPLE_EVERY=10",
+                "--override", "SAVE_EVERY=10",
+                "--rec_rr", "2", "--rec_iters", "5", "--batch_size", "8"])
+    rec = whitebox.main([
+        "--cfg", out, "--attack_type", "spsa", "--defense_type",
+        "defense_gan", "--model", "E", "--num_tests", "8",
+        "--classifier_epochs", "1", "--attack_batch", "8",
+        "--rec_rr", "2", "--rec_iters", "5", "--attack_rec_iters", "3",
+        "--spsa_iters", "2", "--spsa_samples", "2", "--spsa_chunk", "2",
+        "--spsa_rec_penalty", "30", "--spsa_rec_center", "0.05",
+        "--detect", "--results_dir", str(tmp_path / "results")])
+    assert rec["spsa_rec_penalty"] == 30.0
+    assert rec["spsa_rec_center"] == 0.05
+    assert rec["detection_auc"] is not None
+    assert 0.0 <= rec["defended_acc"] <= 1.0
