@@ -620,21 +620,30 @@ def main(argv=None):
     detection_tpr_fpr05 = None
     detection_auc_2s = None
     detection_tpr_fpr05_2s = None
+    detection_auc_comb = None
+    detection_tpr_fpr05_comb = None
     undetected_success = None
     undetected_success_2s = None
+    undetected_success_comb = None
     rec_err_clean = rec_err_adv = None
+    margin_clean = margin_adv = None
     if args.detect:
-        from defensegan_tpu.eval import (reconstruction_errors, roc_auc,
+        from defensegan_tpu.eval import (combined_scores,
+                                         detection_features, roc_auc,
                                          tpr_at_fpr, two_sided_scores,
                                          undetected_success_rate)
 
         with timer.phase("detect"):
             # same base key for both passes => corresponding batches draw
             # identical restart z0: the clean/adv error comparison is
-            # paired, not confounded by restart luck
+            # paired, not confounded by restart luck. One shared pass
+            # also yields the purified-margin feature (top1-top2 logit on
+            # G(z*)) for the two-feature detector.
             k_det = jax.random.fold_in(k_eval, 555)
-            errs_clean = reconstruction_errors(gan, x_test, key=k_det)
-            errs_adv = reconstruction_errors(gan, x_adv, key=k_det)
+            errs_clean, marg_clean = detection_features(
+                gan, x_test, logits_fn, key=k_det)
+            errs_adv, marg_adv = detection_features(
+                gan, x_adv, logits_fn, key=k_det)
         detection_auc = roc_auc(errs_clean, errs_adv)
         detection_tpr_fpr05, _ = tpr_at_fpr(errs_clean, errs_adv, 0.05)
         rec_err_clean = float(errs_clean.mean())
@@ -645,11 +654,29 @@ def main(argv=None):
         s_adv_2s = two_sided_scores(errs_adv, errs_clean)
         detection_auc_2s = roc_auc(s_clean_2s, s_adv_2s)
         detection_tpr_fpr05_2s, _ = tpr_at_fpr(s_clean_2s, s_adv_2s, 0.05)
+        # two-feature combined: max(two-sided rec-err atypicality,
+        # low-tail purified-margin atypicality), both ECDF-calibrated on
+        # the clean set — targets the CW gap (near-manifold but barely
+        # flipped decisions => atypically low purified margin)
+        margin_clean = float(marg_clean.mean())
+        margin_adv = float(marg_adv.mean())
+        s_clean_comb = combined_scores(errs_clean, marg_clean,
+                                       errs_clean, marg_clean)
+        s_adv_comb = combined_scores(errs_adv, marg_adv,
+                                     errs_clean, marg_clean)
+        detection_auc_comb = roc_auc(s_clean_comb, s_adv_comb)
+        detection_tpr_fpr05_comb, _ = tpr_at_fpr(s_clean_comb,
+                                                 s_adv_comb, 0.05)
         print(f"attack detection by rec error: AUC {detection_auc:.4f}, "
               f"detection rate {detection_tpr_fpr05:.4f} @ 5% FPR "
               f"(mean rec err clean {rec_err_clean:.5f} vs adversarial "
               f"{rec_err_adv:.5f}); two-sided AUC {detection_auc_2s:.4f}, "
               f"rate {detection_tpr_fpr05_2s:.4f}")
+        print(f"two-feature detection (rec err + purified margin): AUC "
+              f"{detection_auc_comb:.4f}, rate "
+              f"{detection_tpr_fpr05_comb:.4f} @ 5% FPR (mean purified "
+              f"margin clean {margin_clean:.3f} vs adversarial "
+              f"{margin_adv:.3f})")
         if defended_correct_adv is not None:
             # the joint two-layer number: misclassified by the defended
             # pipeline AND unflagged at 5% FPR. Cross-pass estimate —
@@ -660,9 +687,12 @@ def main(argv=None):
                 errs_clean, errs_adv, ~defended_correct_adv)
             undetected_success_2s, _ = undetected_success_rate(
                 s_clean_2s, s_adv_2s, ~defended_correct_adv)
+            undetected_success_comb, _ = undetected_success_rate(
+                s_clean_comb, s_adv_comb, ~defended_correct_adv)
             print(f"undetected successful attacks @ 5% FPR: "
                   f"{undetected_success:.4f} one-sided / "
-                  f"{undetected_success_2s:.4f} two-sided")
+                  f"{undetected_success_2s:.4f} two-sided / "
+                  f"{undetected_success_comb:.4f} two-feature")
         if args.detect_save:
             ensure_dir(os.path.dirname(args.detect_save) or ".")
             meta = {"dataset": cfg.type, "model": args.model,
@@ -673,7 +703,8 @@ def main(argv=None):
                     "pgd_rec_penalty": (args.pgd_rec_penalty
                                         if args.attack_type == "pgd"
                                         else None)}
-            arrays = {"errs_clean": errs_clean, "errs_adv": errs_adv}
+            arrays = {"errs_clean": errs_clean, "errs_adv": errs_adv,
+                      "margins_clean": marg_clean, "margins_adv": marg_adv}
             if defended_correct_adv is not None:
                 arrays["defended_correct_adv"] = np.asarray(
                     defended_correct_adv, bool)
@@ -738,8 +769,13 @@ def main(argv=None):
         "detection_tpr_at_fpr05": detection_tpr_fpr05,
         "detection_auc_two_sided": detection_auc_2s,
         "detection_tpr_at_fpr05_two_sided": detection_tpr_fpr05_2s,
+        "detection_auc_combined": detection_auc_comb,
+        "detection_tpr_at_fpr05_combined": detection_tpr_fpr05_comb,
         "undetected_success_rate": undetected_success,
         "undetected_success_rate_two_sided": undetected_success_2s,
+        "undetected_success_rate_combined": undetected_success_comb,
+        "margin_clean_mean": margin_clean,
+        "margin_adv_mean": margin_adv,
         "rec_err_clean_mean": rec_err_clean,
         "rec_err_adv_mean": rec_err_adv,
         "attack_time_s": round(attack_time, 2),

@@ -25,8 +25,14 @@ Usage:
     out.rec_err  # [N] float32 detection statistic
 
 Detector choices: "two_sided" (default; |err - clean median| — robust to
-rec-penalty attacks that push errors BELOW clean, eval/detect.py) or
-"one_sided" (the paper's "adversarial = high rec error").
+rec-penalty attacks that push errors BELOW clean, eval/detect.py),
+"one_sided" (the paper's "adversarial = high rec error"), or "combined"
+(two-feature: max of two-sided rec-err atypicality and low-tail
+PURIFIED-margin atypicality, both clean-ECDF-calibrated — targets
+minimum-distortion attacks like CW that stay near the manifold but
+barely flip the decision; eval/detect.py::combined_scores). The margin
+feature reuses the logits the pipeline computes anyway, so "combined"
+costs nothing extra at serving time.
 """
 
 from __future__ import annotations
@@ -42,6 +48,7 @@ class PipelineResult(NamedTuple):
     pred: np.ndarray      # [N] int32 argmax class on the purified input
     flagged: np.ndarray   # [N] bool detection decision (True = reject)
     rec_err: np.ndarray   # [N] float final projection loss (the statistic)
+    margin: np.ndarray    # [N] float purified top1-top2 logit margin
 
 
 class DefendedPipeline:
@@ -61,7 +68,7 @@ class DefendedPipeline:
                  rec_iters: Optional[int] = None,
                  rec_lr: Optional[float] = None,
                  rec_kernel: Optional[str] = None):
-        if detector not in ("two_sided", "one_sided"):
+        if detector not in ("two_sided", "one_sided", "combined"):
             raise ValueError(f"unknown detector {detector!r}")
         if not 0.0 < fpr < 1.0:
             raise ValueError(f"fpr must be in (0, 1), got {fpr}")
@@ -73,34 +80,46 @@ class DefendedPipeline:
                          rec_kernel=rec_kernel)
         self._center: Optional[float] = None      # clean rec-err median
         self._threshold: Optional[float] = None   # detector score cutoff
+        self._errs_calib: Optional[np.ndarray] = None    # combined: ECDFs
+        self._margins_calib: Optional[np.ndarray] = None
 
         @jax.jit
         def _pred(x_hat):
-            return jnp.argmax(logits_fn(x_hat), axis=-1)
+            logits = logits_fn(x_hat)
+            top2 = jax.lax.top_k(logits, 2)[0]
+            return jnp.argmax(logits, axis=-1), top2[:, 0] - top2[:, 1]
 
         self._pred = _pred
 
     # ------------------------------------------------------------ internals
-    def _scores(self, errs: np.ndarray) -> np.ndarray:
+    def _scores(self, errs: np.ndarray,
+                margins: Optional[np.ndarray] = None) -> np.ndarray:
+        if self.detector == "combined":
+            from defensegan_tpu.eval.detect import combined_scores
+            return combined_scores(errs, margins,
+                                   self._errs_calib, self._margins_calib)
         if self.detector == "two_sided":
             return np.abs(errs - self._center)
         return errs
 
     def _run(self, x: np.ndarray, key: jax.Array,
              batch_size: Optional[int]):
-        """One shared projection pass: (preds, rec_errs) per example.
+        """One shared projection pass: (preds, rec_errs, margins).
 
         Batching/padding/keys ride eval/accuracy.py::batched_reconstruct
         — the same loop the offline eval and detector use."""
         from defensegan_tpu.eval.accuracy import batched_reconstruct
 
-        preds, errs = [], []
+        preds, errs, margins = [], [], []
         for res, lo, hi in batched_reconstruct(self.gan, x, key=key,
                                                batch_size=batch_size,
                                                **self._rec):
-            preds.append(np.asarray(self._pred(res.x_hat))[:hi - lo])
+            pb, mb = self._pred(res.x_hat)
+            preds.append(np.asarray(pb)[:hi - lo])
+            margins.append(np.asarray(mb, np.float64)[:hi - lo])
             errs.append(np.asarray(res.loss, np.float64)[:hi - lo])
-        return np.concatenate(preds), np.concatenate(errs)
+        return (np.concatenate(preds), np.concatenate(errs),
+                np.concatenate(margins))
 
     # ------------------------------------------------------------ public
     def calibrate(self, x_clean: np.ndarray,
@@ -114,9 +133,15 @@ class DefendedPipeline:
         Returns self (chainable).
         """
         key = key if key is not None else jax.random.key(0)
-        _, errs = self._run(np.asarray(x_clean), key, batch_size)
+        _, errs, margins = self._run(np.asarray(x_clean), key, batch_size)
         self._center = float(np.median(errs))
-        self._threshold = float(np.quantile(self._scores(errs),
+        if self.detector == "combined":
+            # the ECDF calibration tables ARE the detector (sorted clean
+            # feature samples); the threshold is the (1-fpr) quantile of
+            # the clean combined score — all clean-data-only statistics
+            self._errs_calib = np.sort(errs)
+            self._margins_calib = np.sort(margins)
+        self._threshold = float(np.quantile(self._scores(errs, margins),
                                             1.0 - self.fpr))
         return self
 
@@ -131,7 +156,8 @@ class DefendedPipeline:
             raise RuntimeError("call calibrate(x_clean) before predict() — "
                                "the detector threshold is fit on clean data")
         key = key if key is not None else jax.random.key(1)
-        preds, errs = self._run(np.asarray(x), key, batch_size)
-        flagged = self._scores(errs) > self._threshold
+        preds, errs, margins = self._run(np.asarray(x), key, batch_size)
+        flagged = self._scores(errs, margins) > self._threshold
         return PipelineResult(pred=preds.astype(np.int32), flagged=flagged,
-                              rec_err=errs.astype(np.float32))
+                              rec_err=errs.astype(np.float32),
+                              margin=margins.astype(np.float32))

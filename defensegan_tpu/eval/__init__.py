@@ -9,6 +9,8 @@ from defensegan_tpu.eval.classifier import (ClassifierState, make_logits_fn,
                                             train_classifier)
 from defensegan_tpu.eval.accuracy import model_eval, model_eval_gan
 from defensegan_tpu.eval.detect import (bootstrap_auc_ci, calibration_sweep,
+                                        combined_scores, detection_features,
+                                        ecdf_atypicality,
                                         reconstruction_errors, roc_auc,
                                         roc_points, tpr_at_fpr,
                                         two_sided_scores,
@@ -18,6 +20,9 @@ from defensegan_tpu.eval.quality import BF16_TIE_TAU, tie_aware_disagreement
 __all__ = [
     "bootstrap_auc_ci",
     "calibration_sweep",
+    "combined_scores",
+    "detection_features",
+    "ecdf_atypicality",
     "reconstruction_errors",
     "roc_auc",
     "roc_points",

@@ -51,6 +51,95 @@ def reconstruction_errors(gan, x: np.ndarray,
     return np.concatenate(out)
 
 
+def detection_features(gan, x: np.ndarray,
+                       logits_fn: Callable[[np.ndarray], np.ndarray],
+                       key: Optional[jax.Array] = None,
+                       batch_size: Optional[int] = None,
+                       rec_rr: Optional[int] = None,
+                       rec_iters: Optional[int] = None,
+                       rec_lr: Optional[float] = None,
+                       rec_kernel: Optional[str] = None,
+                       key_fn: Optional[Callable[[int], jax.Array]] = None,
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """One shared projection pass -> (rec_errs [N], purified margins [N]).
+
+    The two-feature detector's inputs: the final projection loss (the
+    paper-5.1 statistic) and the PURIFIED classifier's logit margin
+    (top1 - top2 logit on G(z*)) — label-free, so an operator can
+    calibrate both on clean data. Rationale: minimum-distortion attacks
+    (CW) sit close to the manifold (small rec-err shift, the measured
+    10.9% joint leak on digits) but succeed by barely flipping the
+    decision, so their purified margin is atypically LOW; gross attacks
+    (FGSM/PGD/SPSA) are the opposite. Same batching/padding/key source
+    as reconstruction_errors (eval/accuracy.py::batched_reconstruct).
+    """
+    import jax.numpy as jnp
+
+    from defensegan_tpu.eval.accuracy import batched_reconstruct
+
+    @jax.jit
+    def _margin(x_hat):
+        logits = logits_fn(x_hat)
+        top2 = jax.lax.top_k(logits, 2)[0]
+        return top2[:, 0] - top2[:, 1]
+
+    errs, margins = [], []
+    for res, lo, hi in batched_reconstruct(gan, x, key=key,
+                                           batch_size=batch_size,
+                                           rec_rr=rec_rr,
+                                           rec_iters=rec_iters,
+                                           rec_lr=rec_lr,
+                                           rec_kernel=rec_kernel,
+                                           key_fn=key_fn):
+        errs.append(np.asarray(res.loss, np.float64)[:hi - lo])
+        margins.append(np.asarray(_margin(jnp.asarray(res.x_hat)),
+                                  np.float64)[:hi - lo])
+    return np.concatenate(errs), np.concatenate(margins)
+
+
+def ecdf_atypicality(vals: np.ndarray, calib: np.ndarray,
+                     side: str = "two_sided") -> np.ndarray:
+    """Nonparametric per-feature detection score in [0, 1].
+
+    u = midrank empirical CDF of each value under the CLEAN calibration
+    sample; the score is how far into a suspicious tail the value sits:
+    side="two_sided" -> 2*|u - 0.5| (either tail is atypical, the
+    rec-err convention), "low" -> 1 - u (small values suspicious, the
+    margin convention), "high" -> u. Distribution-free: thresholding the
+    score at (1 - fpr) realizes ~fpr on clean data by construction,
+    which is what makes features on different scales (tanh-space MSE vs
+    logit units) combinable without tuning.
+    """
+    if side not in ("two_sided", "low", "high"):
+        raise ValueError(f"unknown side {side!r}")
+    calib = np.sort(np.asarray(calib, np.float64))
+    v = np.asarray(vals, np.float64)
+    # midrank ECDF: (#calib < v + #calib <= v) / (2n) — ties get half mass
+    lo = np.searchsorted(calib, v, side="left")
+    hi = np.searchsorted(calib, v, side="right")
+    u = (lo + hi) / (2.0 * calib.size)
+    if side == "two_sided":
+        return 2.0 * np.abs(u - 0.5)
+    return 1.0 - u if side == "low" else u
+
+
+def combined_scores(errs: np.ndarray, margins: np.ndarray,
+                    errs_calib: np.ndarray, margins_calib: np.ndarray
+                    ) -> np.ndarray:
+    """Two-feature detection statistic: max of per-feature atypicality.
+
+    max(two-sided rec-err score, low-tail purified-margin score) — an
+    input is flagged if EITHER feature is atypical vs clean calibration.
+    max (not sum) keeps the per-feature semantics: a clean input needs
+    both features typical, which roughly doubles the clean tail mass at
+    a given per-feature threshold — the (1 - fpr) quantile of the
+    combined score on clean calibration absorbs that automatically.
+    """
+    return np.maximum(
+        ecdf_atypicality(errs, errs_calib, "two_sided"),
+        ecdf_atypicality(margins, margins_calib, "low"))
+
+
 def roc_auc(scores_neg: np.ndarray, scores_pos: np.ndarray) -> float:
     """Area under the ROC for `score > threshold => positive`.
 

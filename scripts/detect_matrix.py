@@ -109,9 +109,10 @@ def render(results_dir, datasets=()):
         lines += [
             "## White-box attacks — detection + joint metric",
             "",
-            "| target | attack | def. acc | AUC 1s | AUC 2s | "
-            "TPR@5% 2s | undet. succ 1s | undet. succ 2s |",
-            "|---|---|---|---|---|---|---|---|",
+            "| target | attack | def. acc | AUC 1s | AUC 2s | AUC 2f | "
+            "TPR@5% 2s | undet. succ 1s | undet. succ 2s | "
+            "undet. succ 2f |",
+            "|---|---|---|---|---|---|---|---|---|---|",
         ]
         wb.sort(key=lambda r: (str(r.get("dataset")), str(r.get("attack")),
                                r.get("pgd_rec_penalty") or 0.0,
@@ -122,9 +123,11 @@ def render(results_dir, datasets=()):
                 f"{_fmt(r.get('defended_acc'))} | "
                 f"{_fmt(r.get('detection_auc'))} | "
                 f"{_fmt(r.get('detection_auc_two_sided'))} | "
+                f"{_fmt(r.get('detection_auc_combined'))} | "
                 f"{_fmt(r.get('detection_tpr_at_fpr05_two_sided'))} | "
                 f"{_fmt(r.get('undetected_success_rate'))} | "
-                f"{_fmt(r.get('undetected_success_rate_two_sided'))} |")
+                f"{_fmt(r.get('undetected_success_rate_two_sided'))} | "
+                f"{_fmt(r.get('undetected_success_rate_combined'))} |")
         lines.append("")
     if bb:
         lines += [

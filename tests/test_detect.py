@@ -236,3 +236,88 @@ def test_calibration_sweep_realized_fpr_converges():
         calibration_sweep(clean[:10], adv, sizes=(16,))
     with pytest.raises(ValueError):
         calibration_sweep(clean, adv, detector="bogus", sizes=(16,))
+
+
+# ------------------------------------------- two-feature detector math
+def test_ecdf_atypicality_sides_and_ties():
+    from defensegan_tpu.eval import ecdf_atypicality
+
+    calib = np.array([1.0, 2.0, 3.0, 4.0])
+    # midrank ECDF: u(2.5) = 0.5 -> perfectly typical both ways
+    assert ecdf_atypicality([2.5], calib, "two_sided")[0] == 0.0
+    # extremes: far above/below calib is maximally atypical two-sided
+    assert ecdf_atypicality([100.0], calib, "two_sided")[0] == 1.0
+    assert ecdf_atypicality([-100.0], calib, "two_sided")[0] == 1.0
+    # low side: small margins suspicious, large ones typical
+    low = ecdf_atypicality([-100.0, 100.0], calib, "low")
+    assert low[0] == 1.0 and low[1] == 0.0
+    high = ecdf_atypicality([-100.0, 100.0], calib, "high")
+    assert high[0] == 0.0 and high[1] == 1.0
+    # ties get half mass: value == a calib point uses midrank
+    u_tied = ecdf_atypicality([2.0], calib, "high")[0]
+    assert 0.25 <= u_tied <= 0.5
+    with pytest.raises(ValueError):
+        ecdf_atypicality([1.0], calib, "sideways")
+
+
+def test_ecdf_atypicality_realizes_fpr_on_clean():
+    """Thresholding the two-sided score at quantile(1-fpr) of the
+    calibration's OWN scores flags ~fpr of a fresh clean sample —
+    the distribution-free calibration property the combiner rests on."""
+    from defensegan_tpu.eval import ecdf_atypicality
+
+    rng = np.random.default_rng(0)
+    calib = rng.normal(size=2000)
+    fresh = rng.normal(size=2000)
+    s_cal = ecdf_atypicality(calib, calib, "two_sided")
+    s_new = ecdf_atypicality(fresh, calib, "two_sided")
+    thr = np.quantile(s_cal, 0.95)
+    assert abs((s_new > thr).mean() - 0.05) < 0.02
+
+
+def test_combined_scores_catch_low_margin_near_manifold():
+    """The CW regime: rec errors indistinguishable from clean (two-sided
+    detector blind) but purified margins atypically LOW — the combined
+    max-of-atypicalities statistic must separate what rec-err alone
+    cannot."""
+    from defensegan_tpu.eval import combined_scores, roc_auc
+
+    rng = np.random.default_rng(1)
+    errs_clean = rng.normal(0.03, 0.005, 512)
+    margins_clean = rng.normal(5.0, 1.0, 512)
+    errs_adv = rng.normal(0.03, 0.005, 512)        # same distribution
+    margins_adv = rng.normal(0.5, 0.3, 512)        # barely-flipped
+    s_clean = combined_scores(errs_clean, margins_clean,
+                              errs_clean, margins_clean)
+    s_adv = combined_scores(errs_adv, margins_adv,
+                            errs_clean, margins_clean)
+    auc_rec_only = roc_auc(np.abs(errs_clean - np.median(errs_clean)),
+                           np.abs(errs_adv - np.median(errs_clean)))
+    auc_comb = roc_auc(s_clean, s_adv)
+    assert auc_rec_only < 0.6      # rec-err blind by construction
+    assert auc_comb > 0.95         # margin feature carries the signal
+
+
+def test_detection_features_matches_reconstruction_errors():
+    """detection_features' rec-err leg must be bit-identical to
+    reconstruction_errors (same batched_reconstruct loop + keys), and
+    the margin leg must equal top1-top2 of the purified logits."""
+    from defensegan_tpu.eval import detection_features
+
+    cfg = Config(type="mnist", gen_dim=4, latent_dim=8, disc_dim=4,
+                 rec_rr=2, rec_iters=3)
+    gan = DefenseGAN(cfg)
+    x = np.asarray(jax.random.uniform(jax.random.key(21), (6, 28, 28, 1)))
+
+    def logits_fn(xb):
+        m = jnp.mean(xb, axis=(1, 2, 3))
+        return jnp.stack([1.0 - m, m, jnp.zeros_like(m)], -1)
+
+    errs_ref = reconstruction_errors(gan, x, key=jax.random.key(22),
+                                     batch_size=4)
+    errs, margins = detection_features(gan, x, logits_fn,
+                                       key=jax.random.key(22),
+                                       batch_size=4)
+    np.testing.assert_array_equal(errs, errs_ref)
+    assert errs.shape == margins.shape == (6,)
+    assert (margins >= 0).all()  # top1 - top2 is nonnegative
