@@ -41,7 +41,7 @@ def main(argv=None):
                     help="npz files from whitebox.py --save_adv")
     ap.add_argument("--fpr", type=float, default=0.05)
     ap.add_argument("--detector", default="two_sided",
-                    choices=["two_sided", "one_sided"])
+                    choices=["two_sided", "one_sided", "combined"])
     ap.add_argument("--calib_n", type=int, default=256)
     ap.add_argument("--results_dir", default="output/results")
     args = ap.parse_args(argv)
@@ -94,6 +94,7 @@ def main(argv=None):
                               if unflagged.any() else None),
             "undetected_success_rate": float((~correct & unflagged).mean()),
             "rec_err_mean": float(out.rec_err.mean()),
+            "margin_mean": float(out.margin.mean()),
             "meta": meta,
         }
         append_jsonl(out_path, row)

@@ -150,6 +150,47 @@ LEGS = [
               "--spsa_samples", "32", "--spsa_chunk", "8",
               "--spsa_rec_penalty", "30", "--spsa_rec_center", "0.0017",
               "--detect"]},
+    # Two-feature detector (rec err + purified margin) measurement legs.
+    # Pre-registered: (a) CW-on-digits is the one material joint leak
+    # (10.9% two-sided) and CW's signature is exactly the low-purified-
+    # margin regime — does the combined statistic close it? (b) does the
+    # margin feature hold against the strongest adaptive counter (the
+    # centered penalty, which beats the two-sided rec-err statistic)?
+    # Whitebox legs use queue-U/V attack settings verbatim so the rows
+    # are comparable cells (dedup key includes num_tests etc.).
+    {"name": "cw_digits_2f", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/digits", "--model", "A",
+              "--attack_type", "cw", "--num_tests", "256",
+              "--classifier_epochs", "10", "--attack_rec_iters", "200",
+              "--attack_batch", "128", "--cw_max_iterations", "200",
+              "--cw_binary_search_steps", "4", "--cw_abort_early",
+              "--cw_chunk_iters", "25", "--detect",
+              "--detect_save", "output/detstats/digits_cw_2f.npz"]},
+    {"name": "cw_flagship_2f", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/mnist_fast", "--model", "A",
+              "--attack_type", "cw", "--num_tests", "256",
+              "--classifier_epochs", "10", "--attack_rec_iters", "200",
+              "--attack_batch", "128", "--cw_max_iterations", "200",
+              "--cw_binary_search_steps", "4", "--cw_abort_early",
+              "--cw_chunk_iters", "25", "--detect",
+              "--detect_save", "output/detstats/flagship_cw_2f.npz"]},
+    {"name": "pgd_cen_digits_2f", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/digits", "--model", "A",
+              "--attack_type", "pgd", "--num_tests", "256",
+              "--classifier_epochs", "10", "--attack_rec_iters", "200",
+              "--attack_batch", "128", "--fgsm_eps", "0.1",
+              "--pgd_iters", "40", "--pgd_eps_iter", "0.01",
+              "--attack_grad", "bpda", "--pgd_rec_penalty", "10000",
+              "--pgd_rec_center", "0.0017", "--detect"]},
+    {"name": "pipeline_combined_digits", "run": "script",
+     "path": "scripts/pipeline_exp.py",
+     "argv": ["--cfg", "output/gans/digits", "--model", "A",
+              "--detector", "combined",
+              "--sets", "output/advsets/digits_fgsm.npz",
+              "output/advsets/digits_cw.npz",
+              "output/advsets/digits_pgd.npz",
+              "output/advsets/digits_pgd_pen30.npz",
+              "output/advsets/digits_pgd_cen.npz"]},
     {"name": "stream64", "run": "script",
      "path": "scripts/stream64_probe.py"},
     # the full fused 64x64 projection kernel built on the probe's
