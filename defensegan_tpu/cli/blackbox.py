@@ -173,18 +173,27 @@ def main(argv=None):
     # whitebox --detect; eval/detect.py)
     detection_auc = detection_tpr_fpr05 = None
     detection_auc_2s = detection_tpr_fpr05_2s = None
+    detection_auc_comb = detection_tpr_fpr05_comb = None
     undetected_success = undetected_success_2s = None
+    undetected_success_comb = None
     rec_err_clean = rec_err_adv = None
     if args.detect:
-        from defensegan_tpu.eval import (reconstruction_errors, roc_auc,
+        from defensegan_tpu.eval import (combined_scores,
+                                         detection_features, roc_auc,
                                          tpr_at_fpr, two_sided_scores,
                                          undetected_success_rate)
 
         with timer.phase("detect"):
-            # paired restart keys for the clean/adv passes (same base key)
+            # paired restart keys for the clean/adv passes (same base key);
+            # the shared pass also yields the purified-margin feature for
+            # the two-feature detector (mirrors whitebox --detect). The
+            # margins come from the TARGET classifier — the defender's
+            # own model, exactly what a deployed detector can see.
             k_det = jax.random.fold_in(k_eval, 555)
-            errs_clean = reconstruction_errors(gan, x_eval, key=k_det)
-            errs_adv = reconstruction_errors(gan, x_adv, key=k_det)
+            errs_clean, marg_clean = detection_features(
+                gan, x_eval, bb_logits, key=k_det)
+            errs_adv, marg_adv = detection_features(
+                gan, x_adv, bb_logits, key=k_det)
         detection_auc = roc_auc(errs_clean, errs_adv)
         detection_tpr_fpr05, _ = tpr_at_fpr(errs_clean, errs_adv, 0.05)
         rec_err_clean = float(errs_clean.mean())
@@ -193,15 +202,26 @@ def main(argv=None):
         s_adv_2s = two_sided_scores(errs_adv, errs_clean)
         detection_auc_2s = roc_auc(s_clean_2s, s_adv_2s)
         detection_tpr_fpr05_2s, _ = tpr_at_fpr(s_clean_2s, s_adv_2s, 0.05)
+        s_clean_comb = combined_scores(errs_clean, marg_clean,
+                                       errs_clean, marg_clean)
+        s_adv_comb = combined_scores(errs_adv, marg_adv,
+                                     errs_clean, marg_clean)
+        detection_auc_comb = roc_auc(s_clean_comb, s_adv_comb)
+        detection_tpr_fpr05_comb, _ = tpr_at_fpr(s_clean_comb,
+                                                 s_adv_comb, 0.05)
         undetected_success, _ = undetected_success_rate(
             errs_clean, errs_adv, ~defended_correct_adv)
         undetected_success_2s, _ = undetected_success_rate(
             s_clean_2s, s_adv_2s, ~defended_correct_adv)
+        undetected_success_comb, _ = undetected_success_rate(
+            s_clean_comb, s_adv_comb, ~defended_correct_adv)
         print(f"transfer-attack detection by rec error: AUC "
-              f"{detection_auc:.4f} (two-sided {detection_auc_2s:.4f}), "
+              f"{detection_auc:.4f} (two-sided {detection_auc_2s:.4f}, "
+              f"two-feature {detection_auc_comb:.4f}), "
               f"detection rate {detection_tpr_fpr05:.4f} @ 5% FPR; "
               f"undetected successful attacks {undetected_success:.4f} "
-              f"one-sided / {undetected_success_2s:.4f} two-sided")
+              f"one-sided / {undetected_success_2s:.4f} two-sided / "
+              f"{undetected_success_comb:.4f} two-feature")
 
     ensure_dir(args.results_dir)
     record = {
@@ -219,8 +239,11 @@ def main(argv=None):
         "detection_tpr_at_fpr05": detection_tpr_fpr05,
         "detection_auc_two_sided": detection_auc_2s,
         "detection_tpr_at_fpr05_two_sided": detection_tpr_fpr05_2s,
+        "detection_auc_combined": detection_auc_comb,
+        "detection_tpr_at_fpr05_combined": detection_tpr_fpr05_comb,
         "undetected_success_rate": undetected_success,
         "undetected_success_rate_two_sided": undetected_success_2s,
+        "undetected_success_rate_combined": undetected_success_comb,
         "rec_err_clean_mean": rec_err_clean,
         "rec_err_adv_mean": rec_err_adv,
         "phases": timer.summary(),
