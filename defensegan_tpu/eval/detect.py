@@ -229,7 +229,9 @@ def bootstrap_auc_ci(scores_neg: np.ndarray, scores_pos: np.ndarray,
 def calibration_sweep(errs_clean: np.ndarray, errs_adv: np.ndarray,
                       detector: str = "two_sided", fpr: float = 0.05,
                       sizes: Tuple[int, ...] = (16, 32, 64, 128),
-                      trials: int = 200, seed: int = 0) -> list:
+                      trials: int = 200, seed: int = 0,
+                      margins_clean: Optional[np.ndarray] = None,
+                      margins_adv: Optional[np.ndarray] = None) -> list:
     """How many clean samples does the detector threshold need?
 
     The operational question behind DefendedPipeline.calibrate(): the
@@ -241,12 +243,26 @@ def calibration_sweep(errs_clean: np.ndarray, errs_adv: np.ndarray,
     measure the realized FPR on the held-out clean remainder and TPR on
     the adversarial errors. Returns one dict per size with mean/p90
     realized FPR and mean/std TPR over `trials` resamples.
+
+    detector="combined" additionally needs margins_clean/margins_adv
+    (paired with the errs arrays): per trial the clean calibration split
+    provides BOTH ECDF tables, so the sweep answers whether two
+    nonparametric tables need more clean data than one quantile.
     """
-    if detector not in ("two_sided", "one_sided"):
+    if detector not in ("two_sided", "one_sided", "combined"):
         raise ValueError(f"unknown detector {detector!r}")
+    if detector == "combined" and (margins_clean is None
+                                   or margins_adv is None):
+        raise ValueError("detector='combined' needs margins_clean and "
+                         "margins_adv paired with the errs arrays")
     rng = np.random.default_rng(seed)
     clean = np.asarray(errs_clean, np.float64)
     adv = np.asarray(errs_adv, np.float64)
+    if detector == "combined":
+        m_clean = np.asarray(margins_clean, np.float64)
+        m_adv = np.asarray(margins_adv, np.float64)
+        if m_clean.shape != clean.shape or m_adv.shape != adv.shape:
+            raise ValueError("margins must pair 1:1 with errs")
     rows = []
     for n in sizes:
         if n >= clean.size:
@@ -256,7 +272,12 @@ def calibration_sweep(errs_clean: np.ndarray, errs_adv: np.ndarray,
         for _ in range(trials):
             idx = rng.permutation(clean.size)
             calib, held = clean[idx[:n]], clean[idx[n:]]
-            if detector == "two_sided":
+            if detector == "combined":
+                mc, mh = m_clean[idx[:n]], m_clean[idx[n:]]
+                s_cal = combined_scores(calib, mc, calib, mc)
+                s_held = combined_scores(held, mh, calib, mc)
+                s_adv = combined_scores(adv, m_adv, calib, mc)
+            elif detector == "two_sided":
                 center = float(np.median(calib))
                 s_cal = np.abs(calib - center)
                 s_held = np.abs(held - center)

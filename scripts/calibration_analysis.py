@@ -30,7 +30,8 @@ sys.path.insert(0, ROOT)
 import numpy as np  # noqa: E402
 
 from defensegan_tpu.eval import (bootstrap_auc_ci, calibration_sweep,  # noqa: E402
-                                 roc_auc, two_sided_scores)
+                                 combined_scores, roc_auc,
+                                 two_sided_scores)
 
 
 def analyze(path, fpr, sizes, trials, boot):
@@ -53,21 +54,45 @@ def analyze(path, fpr, sizes, trials, boot):
     print(f"AUC one-sided {auc_1s:.3f} [{lo1:.3f}, {hi1:.3f}]  "
           f"two-sided {auc_2s:.3f} [{lo2:.3f}, {hi2:.3f}]  (95% bootstrap)")
 
+    # two-feature stats when the npz carries margins (newer detect_save)
+    auc_comb = ci_comb = None
+    have_margins = ("margins_clean" in data.files
+                    and "margins_adv" in data.files)
+    if have_margins:
+        sc_comb = combined_scores(clean, data["margins_clean"],
+                                  clean, data["margins_clean"])
+        sa_comb = combined_scores(adv, data["margins_adv"],
+                                  clean, data["margins_clean"])
+        auc_comb = roc_auc(sc_comb, sa_comb)
+        ci_comb = list(bootstrap_auc_ci(sc_comb, sa_comb, n_boot=boot))
+        print(f"AUC two-feature (rec err + purified margin) "
+              f"{auc_comb:.3f} [{ci_comb[0]:.3f}, {ci_comb[1]:.3f}]")
+
     sizes = tuple(n for n in sizes if n < clean.size)
-    rows = calibration_sweep(clean, adv, detector="two_sided", fpr=fpr,
-                             sizes=sizes, trials=trials)
-    print(f"calibration sweep (two-sided, target FPR {fpr:.0%}, "
-          f"{trials} resamples):")
-    print(f"{'calib_n':>8} {'FPR mean':>9} {'FPR p90':>8} "
-          f"{'TPR mean':>9} {'TPR std':>8}")
-    for r in rows:
-        print(f"{r['calib_n']:>8} {r['fpr_mean']:>9.3f} "
-              f"{r['fpr_p90']:>8.3f} {r['tpr_mean']:>9.3f} "
-              f"{r['tpr_std']:>8.3f}")
+    sweeps = {}
+    plans = [("two_sided", {})]
+    if have_margins:
+        plans.append(("combined",
+                      dict(margins_clean=data["margins_clean"],
+                           margins_adv=data["margins_adv"])))
+    for det, extra in plans:
+        rows = calibration_sweep(clean, adv, detector=det, fpr=fpr,
+                                 sizes=sizes, trials=trials, **extra)
+        sweeps[det] = rows
+        print(f"calibration sweep ({det}, target FPR {fpr:.0%}, "
+              f"{trials} resamples):")
+        print(f"{'calib_n':>8} {'FPR mean':>9} {'FPR p90':>8} "
+              f"{'TPR mean':>9} {'TPR std':>8}")
+        for r in rows:
+            print(f"{r['calib_n']:>8} {r['fpr_mean']:>9.3f} "
+                  f"{r['fpr_p90']:>8.3f} {r['tpr_mean']:>9.3f} "
+                  f"{r['tpr_std']:>8.3f}")
     return {"set": label, "file": os.path.basename(path),
             "auc_one_sided": auc_1s, "auc_one_sided_ci": [lo1, hi1],
             "auc_two_sided": auc_2s, "auc_two_sided_ci": [lo2, hi2],
-            "sweep": rows, "meta": meta}
+            "auc_combined": auc_comb, "auc_combined_ci": ci_comb,
+            "sweep": sweeps["two_sided"],
+            "sweep_combined": sweeps.get("combined"), "meta": meta}
 
 
 def main(argv=None):

@@ -321,3 +321,35 @@ def test_detection_features_matches_reconstruction_errors():
     np.testing.assert_array_equal(errs, errs_ref)
     assert errs.shape == margins.shape == (6,)
     assert (margins >= 0).all()  # top1 - top2 is nonnegative
+
+
+def test_calibration_sweep_combined_detector():
+    """combined sweep: needs paired margins, realizes ~fpr on held-out
+    clean, and detects the low-margin near-manifold regime that the
+    two-sided rec-err sweep misses entirely."""
+    from defensegan_tpu.eval import calibration_sweep
+
+    rng = np.random.default_rng(2)
+    errs_clean = rng.normal(0.03, 0.005, 600)
+    margins_clean = rng.normal(5.0, 1.0, 600)
+    errs_adv = rng.normal(0.03, 0.005, 300)       # rec-err blind
+    margins_adv = rng.normal(0.5, 0.3, 300)       # low-margin signature
+
+    with pytest.raises(ValueError):
+        calibration_sweep(errs_clean, errs_adv, detector="combined")
+    with pytest.raises(ValueError):
+        calibration_sweep(errs_clean, errs_adv, detector="combined",
+                          margins_clean=margins_clean[:10],
+                          margins_adv=margins_adv)
+
+    rows = calibration_sweep(errs_clean, errs_adv, detector="combined",
+                             fpr=0.05, sizes=(64, 256), trials=50,
+                             margins_clean=margins_clean,
+                             margins_adv=margins_adv)
+    rows_2s = calibration_sweep(errs_clean, errs_adv,
+                                detector="two_sided", fpr=0.05,
+                                sizes=(64, 256), trials=50)
+    big = rows[-1]
+    assert abs(big["fpr_mean"] - 0.05) < 0.03
+    assert big["tpr_mean"] > 0.9           # margin feature carries it
+    assert rows_2s[-1]["tpr_mean"] < 0.2   # rec-err alone blind
