@@ -182,6 +182,21 @@ LEGS = [
               "--pgd_iters", "40", "--pgd_eps_iter", "0.01",
               "--attack_grad", "bpda", "--pgd_rec_penalty", "10000",
               "--pgd_rec_center", "0.0017", "--detect"]},
+    # THE capstone cell: spsa_da_flagship_l300 beat BOTH rec-err layers
+    # (defended 0.039, two-sided AUC 0.136, joint undetected 96.1%) — the
+    # first such attack in the arms race. Re-run under the two-feature
+    # code: does the purified-margin feature catch what rec-err cannot?
+    # Saves the advset + detstats so the answer is re-analyzable.
+    {"name": "spsa_da_flagship_l300_2f", "run": "script",
+     "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/mnist_fast", "--model", "A",
+              "--attack_type", "spsa", "--num_tests", "128",
+              "--attack_batch", "64", "--spsa_iters", "80",
+              "--spsa_samples", "64", "--spsa_chunk", "8",
+              "--spsa_rec_penalty", "300", "--spsa_rec_center", "0.033",
+              "--detect",
+              "--save_adv", "output/advsets/flagship_spsa_l300.npz",
+              "--detect_save", "output/detstats/flagship_spsa_l300.npz"]},
     {"name": "pipeline_combined_digits", "run": "script",
      "path": "scripts/pipeline_exp.py",
      "argv": ["--cfg", "output/gans/digits", "--model", "A",
