@@ -197,6 +197,19 @@ LEGS = [
               "--detect",
               "--save_adv", "output/advsets/flagship_spsa_l300.npz",
               "--detect_save", "output/detstats/flagship_spsa_l300.npz"]},
+    # Same centering pressure scaled to digits' ~20x smaller rec-err
+    # scale (clean median 0.0017 vs flagship 0.033): does the joint
+    # break generalize to the weaker GAN? (digits lam=30 left adv err 8x
+    # above clean — underpowered, detector held at 0.98.)
+    {"name": "spsa_da_digits_l6000_2f", "run": "script",
+     "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/digits", "--model", "A",
+              "--attack_type", "spsa", "--num_tests", "128",
+              "--attack_batch", "64", "--spsa_iters", "40",
+              "--spsa_samples", "32", "--spsa_chunk", "8",
+              "--spsa_rec_penalty", "6000", "--spsa_rec_center", "0.0017",
+              "--detect",
+              "--detect_save", "output/detstats/digits_spsa_l6000.npz"]},
     {"name": "pipeline_combined_digits", "run": "script",
      "path": "scripts/pipeline_exp.py",
      "argv": ["--cfg", "output/gans/digits", "--model", "A",
