@@ -11,27 +11,37 @@ import sys
 from contextlib import redirect_stdout
 
 import jax
+import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
-def test_bench_main_emits_one_json_line(tmp_path, monkeypatch):
+def test_bench_main_emits_parseable_records(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)  # no trained ckpts -> random init
     import bench
 
     buf = io.StringIO()
+    # --deadline 0 = run the worker in-process (no subprocess/backend kill
+    # machinery, which the supervisor tests cover)
     argv = ["bench.py", "--batch", "32", "--rec_rr", "2", "--rec_iters",
-            "3", "--repeats", "1", "--deep_cfg", "", "--max_wait", "0"]
+            "3", "--repeats", "1", "--deep_cfg", "", "--deadline", "0"]
     monkeypatch.setattr(sys, "argv", argv)
     with redirect_stdout(buf):
-        bench.main()
+        with pytest.raises(SystemExit) as e:
+            bench.main()
+        assert e.value.code in (0, None)
     lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
-    assert len(lines) == 1, lines
-    rec = json.loads(lines[0])
-    assert rec["metric"] == "mnist_reconstructions_per_sec_per_chip"
-    assert rec["value"] > 0
-    assert rec["vs_baseline"] == round(rec["value"] / 1000.0, 4)
+    assert lines, "worker printed no record"
+    # EVERY line is a parseable record (the driver may catch any of them),
+    # and the LAST one is the final, non-partial record
+    recs = [json.loads(ln) for ln in lines]
+    for rec in recs:
+        assert rec["metric"] == "mnist_reconstructions_per_sec_per_chip"
+        assert rec["value"] > 0
+        assert rec["vs_baseline"] == round(rec["value"] / 1000.0, 4)
+    rec = recs[-1]
+    assert "partial" not in rec
     # off-TPU the wide flagship must be labeled with what actually runs
     # (the packed XLA path), never a pallas name
     assert rec["kernel"] == "packed"
@@ -48,12 +58,14 @@ def test_bench_deep_fields(tmp_path, monkeypatch):
                             "mnist.yml")
     argv = ["bench.py", "--batch", "16", "--deep_batch", "16", "--rec_rr",
             "2", "--rec_iters", "2", "--repeats", "1",
-            "--deep_cfg", deep_cfg, "--max_wait", "0"]
+            "--deep_cfg", deep_cfg, "--deadline", "0"]
     monkeypatch.setattr(sys, "argv", argv)
     with redirect_stdout(buf):
-        bench.main()
+        with pytest.raises(SystemExit) as e:
+            bench.main()
+        assert e.value.code in (0, None)
     rec = json.loads([ln for ln in buf.getvalue().splitlines()
-                      if ln.strip()][0])
+                      if ln.strip()][-1])
     assert rec["deep_kernel"] == "xla"  # deep off-TPU best path
     assert rec["deep_value"] > 0
     assert rec["deep_vs_baseline"] == round(rec["deep_value"] / 1000.0, 4)

@@ -3,8 +3,9 @@
 - dryrun_multichip must force the host platform BEFORE its first backend
   touch (round 3's MULTICHIP artifact died for 25 min claiming the TPU
   it never needs, during a service outage — VERDICT round-3 item 1a);
-- bench.py's backend probe (wait_for_backend) retries from a subprocess
-  and, on give-up, still emits a parseable diagnostic JSON line (1b);
+- bench.py's supervisor (round-5 redesign) relays incremental worker
+  records, kills a hung worker at the deadline, and on total failure
+  still emits a parseable diagnostic JSON line;
 - bench.py's auto int8 promotion is gated on a per-checkpoint stamp
   (int8_gate_stamp — VERDICT round-3 item 4);
 - the deep bench leg degrades an explicitly requested unrunnable kernel
@@ -49,50 +50,66 @@ def test_dryrun_forces_cpu_before_any_backend_touch(monkeypatch,
     assert all(p == "cpu" for p in platforms_at_call), platforms_at_call
 
 
-# ------------------------------------------------- bench backend probe
-def _fake_cp(rc, out="cpu\n4.0\n", err=""):
-    return subprocess.CompletedProcess(args=[], returncode=rc,
-                                       stdout=out, stderr=err)
+# --------------------------------------------- bench supervisor/deadline
+# The round-5 redesign (VERDICT round-4 item 1: BENCH_r03 rc=1 +
+# BENCH_r04 rc=124 — two rounds with no driver-captured perf number):
+# a jax-free SUPERVISOR spawns the measurement worker, relays every
+# record line it prints, and SIGKILLs it at --deadline. These tests run
+# the real supervisor against fake workers via --_test_worker_cmd-style
+# monkeypatching of the spawned command.
 
 
-def test_wait_for_backend_healthy_first_probe(monkeypatch):
+def _run_supervisor(monkeypatch, capsys, worker_py, deadline=5.0):
     import bench
 
-    monkeypatch.setattr(bench.subprocess, "run",
-                        lambda *a, **kw: _fake_cp(0))
-    assert bench.wait_for_backend(max_wait_s=10) is True
+    real_popen = subprocess.Popen
+
+    def fake_popen(cmd, **kw):
+        return real_popen([sys.executable, "-c", worker_py], **kw)
+
+    monkeypatch.setattr(bench.subprocess, "Popen", fake_popen)
+    args = type("A", (), {"deadline": deadline})()
+    rc = bench.supervise(args, [])
+    out = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    return rc, [json.loads(ln) for ln in out]
 
 
-def test_wait_for_backend_gives_up_with_diagnostic(monkeypatch, capsys):
-    import bench
+def test_supervisor_relays_incremental_records(monkeypatch, capsys):
+    worker = ("import json\n"
+              "print(json.dumps({'metric': 'm', 'value': 1.0,"
+              " 'partial': True}), flush=True)\n"
+              "print(json.dumps({'metric': 'm', 'value': 2.0}),"
+              " flush=True)\n")
+    rc, recs = _run_supervisor(monkeypatch, capsys, worker)
+    assert rc == 0
+    assert [r["value"] for r in recs] == [1.0, 2.0]
+    assert "partial" not in recs[-1]  # the driver's line is the final one
 
-    def always_timeout(*a, **kw):
-        raise subprocess.TimeoutExpired(cmd="probe", timeout=1)
 
-    monkeypatch.setattr(bench.subprocess, "run", always_timeout)
-    assert bench.wait_for_backend(max_wait_s=0) is False
-    lines = [ln for ln in capsys.readouterr().out.splitlines()
-             if ln.strip()]
-    assert len(lines) == 1
-    rec = json.loads(lines[0])  # the driver can still parse the record
+def test_supervisor_kills_hung_worker_keeps_last_record(monkeypatch,
+                                                        capsys):
+    # worker prints one record then hangs forever (the wedged-PJRT case);
+    # the supervisor must kill it at the deadline and the record stands
+    worker = ("import json, time\n"
+              "print(json.dumps({'metric': 'm', 'value': 3.0,"
+              " 'partial': True}), flush=True)\n"
+              "time.sleep(3600)\n")
+    rc, recs = _run_supervisor(monkeypatch, capsys, worker, deadline=3.0)
+    assert rc == 0
+    assert recs[-1]["value"] == 3.0
+
+
+def test_supervisor_diagnostic_when_worker_never_reports(monkeypatch,
+                                                         capsys):
+    # worker dies instantly with no record -> supervisor retries within
+    # the deadline, then emits a parseable diagnostic record, rc 0
+    worker = "import sys; sys.exit(3)\n"
+    rc, recs = _run_supervisor(monkeypatch, capsys, worker, deadline=3.0)
+    assert rc == 0
+    rec = recs[-1]
     assert rec["metric"] == "mnist_reconstructions_per_sec_per_chip"
     assert rec["value"] == 0.0 and rec["vs_baseline"] == 0.0
-    assert "unavailable" in rec["error"]
-
-
-def test_wait_for_backend_retries_then_succeeds(monkeypatch):
-    import bench
-
-    calls = {"n": 0}
-
-    def flaky(*a, **kw):
-        calls["n"] += 1
-        return _fake_cp(0 if calls["n"] >= 3 else 1, err="UNAVAILABLE\n")
-
-    monkeypatch.setattr(bench.subprocess, "run", flaky)
-    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
-    assert bench.wait_for_backend(max_wait_s=600) is True
-    assert calls["n"] == 3
+    assert "deadline" in rec["error"]
 
 
 # ------------------------------------------------- int8 gate stamp
@@ -145,9 +162,10 @@ def test_measure_deep_fallback_to_auto(tmp_path, monkeypatch, capsys):
                               fallback_to_auto=True)
     assert v > 0
     assert k == "xla"  # deep off-TPU auto resolution
-    assert "deep leg measuring auto resolution" in capsys.readouterr().err
-    # without the flag the same request still refuses (headline behavior)
-    with pytest.raises(SystemExit):
+    assert "measuring auto resolution" in capsys.readouterr().err
+    # without the flag the same request still refuses (the leg fails and
+    # the worker moves on without voiding earlier legs)
+    with pytest.raises(RuntimeError, match="not runnable"):
         bench.measure(deep_cfg, batch=8, rec_rr=2, rec_iters=2,
                       repeats=1, kernel="pallas_int8")
 
