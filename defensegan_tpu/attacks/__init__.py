@@ -29,7 +29,8 @@ from defensegan_tpu.attacks.compose import (attack_batch_key, attack_z0_key,
                                             make_attack_loss,
                                             make_attack_target,
                                             split_rand_fgsm_key)
-from defensegan_tpu.attacks.spsa import make_spsa, margin_loss
+from defensegan_tpu.attacks.spsa import (confident_margin_loss,
+                                          make_spsa, margin_loss)
 
 __all__ = [
     "attack_batch_key",
@@ -48,6 +49,7 @@ __all__ = [
     "make_chunked_cw",
     "jacobian_augmentation",
     "train_substitute",
+    "confident_margin_loss",
     "make_spsa",
     "margin_loss",
 ]

@@ -70,6 +70,29 @@ def margin_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(masked, axis=-1) - true_logit
 
 
+def confident_margin_loss(logits: jnp.ndarray,
+                          labels: jnp.ndarray) -> jnp.ndarray:
+    """"Confidently wrong" objective: z_w - max_{j != w} z_j, where
+    w = argmax_{i != y} z_i is the best WRONG class.
+
+    The counter-attack to the two-feature detector (eval/detect.py
+    combined_scores): that detector flags inputs whose PURIFIED top1-top2
+    logit margin sits in the clean distribution's low tail — exactly
+    where plain margin_loss leaves successful attacks (barely-flipped
+    decisions). This statistic is positive iff the classifier is wrong
+    AND, when positive, EQUALS the detector's own top1-top2 margin (top1
+    is then w), so maximizing it drives the attack out of the low-margin
+    tail while keeping it misclassified. Forward-only — SPSA needs no
+    gradients through the purification.
+    """
+    b = logits.shape[0]
+    masked = logits.at[jnp.arange(b), labels].set(-jnp.inf)
+    w = jnp.argmax(masked, axis=-1)
+    z_w = jnp.max(masked, axis=-1)
+    rest = logits.at[jnp.arange(b), w].set(-jnp.inf)
+    return z_w - jnp.max(rest, axis=-1)
+
+
 def make_spsa(loss_fn: LossFn, eps: float, nb_iter: int = 40,
               n_samples: int = 32, delta: float = 0.01, lr: float = 0.01,
               chunk_samples: int = 8, clip_min: float = 0.0,
@@ -90,8 +113,12 @@ def make_spsa(loss_fn: LossFn, eps: float, nb_iter: int = 40,
       delta: finite-difference probe radius.
       lr: Adam learning rate on the perturbation.
       chunk_samples: pairs per device dispatch; each dispatch evaluates
-        chunk_samples * B images per sign. Must divide n_samples' padding
-        only logically — the last chunk is simply smaller.
+        chunk_samples * B images per sign. When it does not divide
+        n_samples, n_samples is rounded UP to the next multiple (with a
+        note) so every probe batch has the SAME shape and each device
+        program compiles exactly once — on this TPU stack an extra shape
+        means another multi-minute remote Pallas/projection compile
+        (round-4 advisor).
       freeze_on_success: stop updating examples whose current loss is
         already > 0 (margin semantics: misclassified under the attack's
         defense key). Their perturbation is kept as-is; probe cost is
@@ -102,6 +129,12 @@ def make_spsa(loss_fn: LossFn, eps: float, nb_iter: int = 40,
     if n_samples < 1 or nb_iter < 1:
         raise ValueError("spsa needs n_samples >= 1 and nb_iter >= 1")
     chunk = max(1, min(chunk_samples, n_samples))
+    if n_samples % chunk:
+        rounded = ((n_samples + chunk - 1) // chunk) * chunk
+        print(f"spsa: rounding n_samples {n_samples} up to {rounded} "
+              f"(multiple of chunk_samples={chunk}; constant probe-batch "
+              "shapes => one compile)", flush=True)
+        n_samples = rounded
 
     # Adam on the perturbation, ascending the loss. Hand-rolled (three
     # jnp updates) rather than optax so the whole optimizer state is a

@@ -190,9 +190,9 @@ def main(argv=None):
             # margins come from the TARGET classifier — the defender's
             # own model, exactly what a deployed detector can see.
             k_det = jax.random.fold_in(k_eval, 555)
-            errs_clean, marg_clean = detection_features(
+            errs_clean, marg_clean, _ = detection_features(
                 gan, x_eval, bb_logits, key=k_det)
-            errs_adv, marg_adv = detection_features(
+            errs_adv, marg_adv, _ = detection_features(
                 gan, x_adv, bb_logits, key=k_det)
         detection_auc = roc_auc(errs_clean, errs_adv)
         detection_tpr_fpr05, _ = tpr_at_fpr(errs_clean, errs_adv, 0.05)

@@ -26,6 +26,11 @@ def main(argv=None):
                     help="train the GAN (otherwise: test mode)")
     ap.add_argument("--num_recs", type=int, default=16,
                     help="test mode: how many test images to reconstruct")
+    ap.add_argument("--save_recs_files", action="store_true",
+                    help="test mode: also dump each original and "
+                    "reconstruction as its own PNG under "
+                    "<output_dir>/recs/ (reference save_images_files "
+                    "parity — per-image files, labels in the filename)")
     args = ap.parse_args(argv)
     cfg = cfg_from_args(args)
 
@@ -50,7 +55,7 @@ def main(argv=None):
     path = save_images(np.asarray(samples),
                        os.path.join(cfg.output_dir, "test_samples.png"))
     print(f"wrote {path}")
-    x_test, _ = ds.load("test")
+    x_test, y_test = ds.load("test")
     x = x_test[:args.num_recs]
     res = gan.reconstruct(jax.numpy.asarray(x), key)
     pair = np.stack([x, np.asarray(res.x_hat)], axis=1).reshape(
@@ -60,6 +65,15 @@ def main(argv=None):
                        grid=(args.num_recs, 2))
     print(f"wrote {path} (rows: original | reconstruction); "
           f"mean rec loss {float(np.mean(np.asarray(res.loss))):.5f}")
+    if args.save_recs_files:
+        from defensegan_tpu.utils.visualize import save_images_files
+
+        recs_dir = os.path.join(cfg.output_dir, "recs")
+        labels = np.asarray(y_test[:args.num_recs]).tolist()
+        save_images_files(x, recs_dir, prefix="orig", labels=labels)
+        save_images_files(np.asarray(res.x_hat), recs_dir, prefix="rec",
+                          labels=labels)
+        print(f"wrote {2 * len(x)} per-image PNGs under {recs_dir}/")
 
 
 if __name__ == "__main__":

@@ -179,6 +179,28 @@ def main(argv=None):
                     "the TWO-SIDED detector (steer the statistic TO the "
                     "clean median C); C is exactly the statistic the "
                     "detector thresholds, measured, not differentiated")
+    ap.add_argument("--spsa_objective", default="margin",
+                    choices=["margin", "confident"],
+                    help="margin: max_{i!=y} z_i - z_y on the defended "
+                    "logits (misclassify, the Uesato et al. objective); "
+                    "confident: z_w - max_{j!=w} z_j with w the best "
+                    "wrong class — the 'confidently wrong' counter to "
+                    "the two-feature detector, whose margin feature "
+                    "flags purified top1-top2 in the clean LOW tail; "
+                    "positive iff misclassified, and then EQUAL to the "
+                    "detector's own margin statistic (requires "
+                    "--spsa_margin_kappa)")
+    ap.add_argument("--spsa_margin_kappa", type=float, default=None,
+                    metavar="KAPPA",
+                    help="with --spsa_objective confident: the purified-"
+                    "margin level the attacker aims above (the objective "
+                    "becomes conf_margin - KAPPA - lambda*|rec - C|, so "
+                    "freeze_on_success freezes only examples that are "
+                    "misclassified CONFIDENTLY above KAPPA with a small "
+                    "rec penalty — beating all detector features under "
+                    "the attack's own keys). Set it to the clean purified-"
+                    "margin median (the well-informed attacker's choice; "
+                    "whitebox --detect prints clean margin stats)")
     ap.add_argument("--train_on_recs", action="store_true")
     ap.add_argument("--online_training", action="store_true",
                     help="alias kept for reference-CLI parity: train the "
@@ -233,6 +255,10 @@ def main(argv=None):
                     "x_clean, attack meta) for downstream experiments "
                     "(e.g. scripts/pipeline_exp.py serving-pipeline "
                     "evaluation) — crafting stays single-sourced here")
+    ap.add_argument("--save_adv_pngs", action="store_true",
+                    help="with --save_adv: also dump every original and "
+                    "adversarial image as its own PNG next to the npz "
+                    "(reference save_images_files parity)")
     ap.add_argument("--detect_save", default=None, metavar="PATH.npz",
                     help="with --detect: save the per-example paired "
                     "detection statistics (errs_clean, errs_adv, "
@@ -292,6 +318,23 @@ def main(argv=None):
     if args.spsa_rec_center is not None and not args.spsa_rec_penalty:
         ap.error("--spsa_rec_center shapes the --spsa_rec_penalty term; "
                  "set a nonzero --spsa_rec_penalty")
+    if args.spsa_objective == "confident":
+        if args.attack_type != "spsa" or args.defense_type != "defense_gan" \
+                or args.attack_through_defense != "yes":
+            ap.error("--spsa_objective confident targets the two-feature "
+                     "detector's PURIFIED-margin statistic; it requires "
+                     "--attack_type spsa, --defense_type defense_gan and "
+                     "--attack_through_defense yes")
+        if args.spsa_margin_kappa is None:
+            ap.error("--spsa_objective confident needs --spsa_margin_kappa "
+                     "(the purified-margin level to aim above; use the "
+                     "clean margin median printed by --detect)")
+    elif args.spsa_margin_kappa is not None:
+        ap.error("--spsa_margin_kappa only shapes --spsa_objective "
+                 "confident")
+    if args.save_adv_pngs and not args.save_adv:
+        ap.error("--save_adv_pngs dumps next to the --save_adv npz; "
+                 "set --save_adv PATH.npz")
     if args.detect and args.attack_type == "none":
         ap.error("--detect compares clean vs adversarial reconstruction "
                  "errors; it needs an --attack_type")
@@ -427,7 +470,8 @@ def main(argv=None):
                                keyed_logits=through_defense,
                                per_step_keys=per_step, loss_fn=pgd_loss)
         elif args.attack_type == "spsa":
-            from defensegan_tpu.attacks import make_spsa, margin_loss
+            from defensegan_tpu.attacks import (confident_margin_loss,
+                                                make_spsa, margin_loss)
 
             if through_defense:
                 # the attacker's oracle is the DEPLOYED defended
@@ -438,19 +482,35 @@ def main(argv=None):
                 # attack here that probes the exact serving bits.
                 lam = args.spsa_rec_penalty
                 cen = args.spsa_rec_center
-                if lam:
+                kappa = args.spsa_margin_kappa
+                confident = args.spsa_objective == "confident"
+                if lam or confident:
                     # detection-aware: res.loss IS the detector statistic
                     # (eval/detect.py scores the same projection loss), so
                     # the gradient-free attacker optimizes the true
                     # detection margin — the --pgd_rec_penalty analogue
-                    # minus the BPDA approximation. freeze_on_success then
-                    # freezes on margin > lam*penalty, i.e. only examples
-                    # winning BOTH layers under the attack's own keys.
+                    # minus the BPDA approximation. With the confident
+                    # objective the margin statistic is ALSO the detector's
+                    # (top1-top2 on the purified image when winning), so
+                    # the full objective conf - kappa - lam*|rec - C| is
+                    # positive only for examples beating the classifier
+                    # AND both combined-detector features under the
+                    # attack's own keys — exactly what freeze_on_success
+                    # should freeze.
                     def _pen(rl):
-                        return jnp.abs(rl - cen) if cen is not None else rl
-                    post = jax.jit(
-                        lambda xh, y, rl: margin_loss(logits_fn(xh), y)
-                        - lam * _pen(rl))
+                        if not lam:
+                            return jnp.zeros_like(rl)
+                        return lam * (jnp.abs(rl - cen) if cen is not None
+                                      else rl)
+                    if confident:
+                        post = jax.jit(
+                            lambda xh, y, rl:
+                            confident_margin_loss(logits_fn(xh), y)
+                            - kappa - _pen(rl))
+                    else:
+                        post = jax.jit(
+                            lambda xh, y, rl: margin_loss(logits_fn(xh), y)
+                            - _pen(rl))
 
                     def spsa_loss(x_flat, y_flat, k):
                         res = gan.reconstruct(x_flat, k,
@@ -541,7 +601,9 @@ def main(argv=None):
                         spsa_delta=args.spsa_delta,
                         spsa_lr=args.spsa_lr,
                         spsa_rec_penalty=args.spsa_rec_penalty,
-                        spsa_rec_center=args.spsa_rec_center)
+                        spsa_rec_center=args.spsa_rec_center,
+                        spsa_objective=args.spsa_objective,
+                        spsa_margin_kappa=args.spsa_margin_kappa)
         if args.attack_type == "pgd":
             meta.update(pgd_iters=args.pgd_iters,
                         pgd_eps_iter=args.pgd_eps_iter,
@@ -554,6 +616,15 @@ def main(argv=None):
         np.savez(args.save_adv, x_adv=x_adv, y=y_test, x_clean=x_test,
                  meta=json.dumps(meta))
         print(f"saved adversarial set to {args.save_adv}")
+        if args.save_adv_pngs:
+            from defensegan_tpu.utils.visualize import save_images_files
+
+            png_dir = os.path.splitext(args.save_adv)[0] + "_pngs"
+            labels = np.asarray(y_test).tolist()
+            save_images_files(x_test, png_dir, prefix="orig", labels=labels)
+            save_images_files(x_adv, png_dir, prefix="adv", labels=labels)
+            print(f"wrote {2 * len(x_adv)} per-image PNGs under {png_dir}/ "
+                  "(reference save_images_files parity)")
 
     with timer.phase("adv_eval"):
         adv_acc = model_eval(logits_fn, x_adv, y_test)
@@ -640,9 +711,9 @@ def main(argv=None):
             # also yields the purified-margin feature (top1-top2 logit on
             # G(z*)) for the two-feature detector.
             k_det = jax.random.fold_in(k_eval, 555)
-            errs_clean, marg_clean = detection_features(
+            errs_clean, marg_clean, alll_clean = detection_features(
                 gan, x_test, logits_fn, key=k_det)
-            errs_adv, marg_adv = detection_features(
+            errs_adv, marg_adv, alll_adv = detection_features(
                 gan, x_adv, logits_fn, key=k_det)
         detection_auc = roc_auc(errs_clean, errs_adv)
         detection_tpr_fpr05, _ = tpr_at_fpr(errs_clean, errs_adv, 0.05)
@@ -676,7 +747,12 @@ def main(argv=None):
               f"{detection_auc_comb:.4f}, rate "
               f"{detection_tpr_fpr05_comb:.4f} @ 5% FPR (mean purified "
               f"margin clean {margin_clean:.3f} vs adversarial "
-              f"{margin_adv:.3f})")
+              f"{margin_adv:.3f}; clean margin median "
+              f"{float(np.median(marg_clean)):.3f}) "
+              "[ECDF calibration is IN-SAMPLE on this clean eval set — "
+              "mildly optimistic vs a held-out-calibrated deployment; "
+              "see eval/detect.py::calibration_sweep(detector='combined') "
+              "and the DefendedPipeline rows for the held-out figure]")
         if defended_correct_adv is not None:
             # the joint two-layer number: misclassified by the defended
             # pipeline AND unflagged at 5% FPR. Cross-pass estimate —
@@ -699,12 +775,27 @@ def main(argv=None):
                     "attack": args.attack_type,
                     "defense": args.defense_type,
                     "fgsm_eps": args.fgsm_eps,
-                    "rec_rr": cfg.rec_rr, "rec_iters": cfg.rec_iters,
-                    "pgd_rec_penalty": (args.pgd_rec_penalty
-                                        if args.attack_type == "pgd"
-                                        else None)}
+                    "rec_rr": cfg.rec_rr, "rec_iters": cfg.rec_iters}
+            if args.attack_type == "pgd":
+                meta.update(pgd_rec_penalty=args.pgd_rec_penalty,
+                            pgd_rec_center=args.pgd_rec_center,
+                            pgd_iters=args.pgd_iters)
+            if args.attack_type == "spsa":
+                # full SPSA provenance (round-4 advisor: the saved
+                # capstone detstats lost the lam/center that made the
+                # result re-analyzable)
+                meta.update(spsa_iters=args.spsa_iters,
+                            spsa_samples=args.spsa_samples,
+                            spsa_delta=args.spsa_delta,
+                            spsa_lr=args.spsa_lr,
+                            spsa_rec_penalty=args.spsa_rec_penalty,
+                            spsa_rec_center=args.spsa_rec_center,
+                            spsa_objective=args.spsa_objective,
+                            spsa_margin_kappa=args.spsa_margin_kappa)
             arrays = {"errs_clean": errs_clean, "errs_adv": errs_adv,
-                      "margins_clean": marg_clean, "margins_adv": marg_adv}
+                      "margins_clean": marg_clean, "margins_adv": marg_adv,
+                      "all_losses_clean": alll_clean,
+                      "all_losses_adv": alll_adv}
             if defended_correct_adv is not None:
                 arrays["defended_correct_adv"] = np.asarray(
                     defended_correct_adv, bool)
@@ -751,6 +842,10 @@ def main(argv=None):
                              if args.attack_type == "spsa" else None),
         "spsa_rec_center": (args.spsa_rec_center
                             if args.attack_type == "spsa" else None),
+        "spsa_objective": (args.spsa_objective
+                           if args.attack_type == "spsa" else None),
+        "spsa_margin_kappa": (args.spsa_margin_kappa
+                              if args.attack_type == "spsa" else None),
         "attack_through_defense": args.attack_through_defense,
         "attack_grad": ("none" if args.attack_type == "spsa" else
                         args.attack_grad) if through_defense else None,

@@ -16,10 +16,46 @@ the ROC/AUC math is a few thousand floats on the host.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import numpy as np
+
+# jitted purified-margin programs keyed on the logits_fn object: the
+# clean pass, adv pass, and every pipeline_exp set reuse ONE compiled
+# program per classifier instead of re-tracing per detection_features
+# call (round-4 advisor)
+_MARGIN_CACHE: dict = {}
+
+
+def _margin_fn(logits_fn):
+    fn = _MARGIN_CACHE.get(id(logits_fn))
+    if fn is None:
+        @jax.jit
+        def fn(x_hat):
+            logits = logits_fn(x_hat)
+            top2 = jax.lax.top_k(logits, 2)[0]
+            return top2[:, 0] - top2[:, 1]
+
+        _MARGIN_CACHE[id(logits_fn)] = fn
+    return fn
+
+
+class DetectionFeatures(NamedTuple):
+    """Per-image detection features from one shared projection pass.
+
+    errs:       [N] final best-restart projection loss (tanh-space MSE)
+    margins:    [N] purified classifier top1-top2 logit margin on G(z*)
+    all_losses: [N, R] final loss of EVERY restart — the raw material for
+                restart-dispersion statistics (a candidate third feature:
+                an attacker tuning the input against the projection's
+                expected behavior may skew how the R independent basins
+                score it). Saved by --detect_save for offline analysis.
+    """
+
+    errs: np.ndarray
+    margins: np.ndarray
+    all_losses: np.ndarray
 
 
 def reconstruction_errors(gan, x: np.ndarray,
@@ -60,8 +96,9 @@ def detection_features(gan, x: np.ndarray,
                        rec_lr: Optional[float] = None,
                        rec_kernel: Optional[str] = None,
                        key_fn: Optional[Callable[[int], jax.Array]] = None,
-                       ) -> Tuple[np.ndarray, np.ndarray]:
-    """One shared projection pass -> (rec_errs [N], purified margins [N]).
+                       ) -> DetectionFeatures:
+    """One shared projection pass -> DetectionFeatures(errs, margins,
+    all_losses).
 
     The two-feature detector's inputs: the final projection loss (the
     paper-5.1 statistic) and the PURIFIED classifier's logit margin
@@ -70,20 +107,18 @@ def detection_features(gan, x: np.ndarray,
     (CW) sit close to the manifold (small rec-err shift, the measured
     10.9% joint leak on digits) but succeed by barely flipping the
     decision, so their purified margin is atypically LOW; gross attacks
-    (FGSM/PGD/SPSA) are the opposite. Same batching/padding/key source
-    as reconstruction_errors (eval/accuracy.py::batched_reconstruct).
+    (FGSM/PGD/SPSA) are the opposite. The per-restart final losses ride
+    along for free (restart-dispersion candidate feature). Same
+    batching/padding/key source as reconstruction_errors
+    (eval/accuracy.py::batched_reconstruct).
     """
     import jax.numpy as jnp
 
     from defensegan_tpu.eval.accuracy import batched_reconstruct
 
-    @jax.jit
-    def _margin(x_hat):
-        logits = logits_fn(x_hat)
-        top2 = jax.lax.top_k(logits, 2)[0]
-        return top2[:, 0] - top2[:, 1]
+    _margin = _margin_fn(logits_fn)
 
-    errs, margins = [], []
+    errs, margins, alll = [], [], []
     for res, lo, hi in batched_reconstruct(gan, x, key=key,
                                            batch_size=batch_size,
                                            rec_rr=rec_rr,
@@ -94,7 +129,9 @@ def detection_features(gan, x: np.ndarray,
         errs.append(np.asarray(res.loss, np.float64)[:hi - lo])
         margins.append(np.asarray(_margin(jnp.asarray(res.x_hat)),
                                   np.float64)[:hi - lo])
-    return np.concatenate(errs), np.concatenate(margins)
+        alll.append(np.asarray(res.all_losses, np.float64)[:hi - lo])
+    return DetectionFeatures(np.concatenate(errs), np.concatenate(margins),
+                             np.concatenate(alll))
 
 
 def ecdf_atypicality(vals: np.ndarray, calib: np.ndarray,

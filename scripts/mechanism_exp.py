@@ -19,7 +19,7 @@ to show WHERE the surviving energy lives.
 
 Uses the GANs trained by queue G / the salt runs
 (output/gans/restore_m12_w<amp>[_smooth]); skips missing checkpoints.
-Run via scripts/round3_queue_i.py (chip discipline).
+Run via scripts/records/round3_queue_i.py (chip discipline).
 """
 
 import json

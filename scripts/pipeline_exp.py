@@ -9,11 +9,17 @@ and the undetected-success rate P(misclassified AND unflagged). Crafting
 stays single-sourced in cli/whitebox.py; this script only measures the
 serving surface.
 
-Calibration uses the TRAIN tail (digits test is only 297 images and the
-first 256 are the attack-eval slice): the detector needs the clean
-rec-err distribution, which train-tail images represent; they were seen
-by the GAN/classifier, so clean flag rates here are the optimistic leg —
-the paired clean rows report the eval slice too.
+Calibration source matters (round-4 finding): train-tail calibration
+(--calib_source train_tail) produced a 23.4% clean flag rate at a 5% FPR
+target for the combined detector on digits — train images were seen by
+the GAN/classifier, so their purified margins sit HIGH, and the margin
+ECDF's low tail lands far above the test distribution's (digits test has
+~6% genuinely low-margin clean errors). The default is therefore
+test_tail: held-out clean TEST images disjoint from the attack-eval
+slice (digits: images [256:297] of the 297-image test set — small, but
+drawn from the distribution the detector actually serves; the realized-
+FPR noise at that size is quantified by eval/detect.py::calibration_sweep
+and scripts/calibration_analysis.py).
 
 Usage:
   python scripts/pipeline_exp.py --cfg output/gans/digits --model A \
@@ -43,6 +49,16 @@ def main(argv=None):
     ap.add_argument("--detector", default="two_sided",
                     choices=["two_sided", "one_sided", "combined"])
     ap.add_argument("--calib_n", type=int, default=256)
+    ap.add_argument("--calib_source", default="test_tail",
+                    choices=["test_tail", "train_tail"],
+                    help="test_tail (default): clean TEST images AFTER "
+                    "the attack-eval slice (serving-distribution "
+                    "calibration; capped by what the test set has left); "
+                    "train_tail: the round-4 protocol (optimistic margins "
+                    "— kept for comparison rows)")
+    ap.add_argument("--eval_slice_n", type=int, default=256,
+                    help="size of the attack-eval slice at the head of "
+                    "the test set (test_tail calibration starts after it)")
     ap.add_argument("--results_dir", default="output/results")
     args = ap.parse_args(argv)
 
@@ -56,7 +72,6 @@ def main(argv=None):
     cfg = load_config(args.cfg)
     gan = load_gan(cfg, require_trained=True)
     ds = load_data(cfg)
-    x_train, _ = ds.load("train")
 
     tag = f"{cfg.type}_model{args.model}"
     model = build_classifier(args.model, num_classes=cfg.num_classes)
@@ -67,12 +82,24 @@ def main(argv=None):
     logits_fn = clf.logits_fn()
     print(f"loaded classifier {tag}")
 
-    x_calib = x_train[-args.calib_n:]
+    if args.calib_source == "train_tail":
+        x_train, _ = ds.load("train")
+        x_calib = x_train[-args.calib_n:]
+    else:
+        x_test, _ = ds.load("test")
+        if len(x_test) <= args.eval_slice_n:
+            raise SystemExit(
+                f"test set has {len(x_test)} images, all inside the "
+                f"attack-eval slice ({args.eval_slice_n}) — no held-out "
+                "test images to calibrate on; use --calib_source "
+                "train_tail or shrink --eval_slice_n")
+        x_calib = x_test[args.eval_slice_n:
+                         args.eval_slice_n + args.calib_n]
     pipe = DefendedPipeline(gan, logits_fn, fpr=args.fpr,
                             detector=args.detector)
     pipe.calibrate(x_calib, key=jax.random.key(101))
     print(f"calibrated {args.detector} detector on {len(x_calib)} clean "
-          f"train-tail images @ {args.fpr:.0%} FPR "
+          f"{args.calib_source} images @ {args.fpr:.0%} FPR "
           f"(center {pipe._center:.5f}, threshold {pipe._threshold:.5f})")
 
     ensure_dir(args.results_dir)
@@ -86,7 +113,8 @@ def main(argv=None):
             "script": "pipeline_exp", "dataset": cfg.type,
             "model": args.model, "set": name,
             "detector": args.detector, "fpr": args.fpr,
-            "calib_n": args.calib_n, "n": int(len(y)),
+            "calib_n": int(len(x_calib)),
+            "calib_source": args.calib_source, "n": int(len(y)),
             "rec_rr": cfg.rec_rr, "rec_iters": cfg.rec_iters,
             "flag_rate": float(out.flagged.mean()),
             "acc_all": float(correct.mean()),

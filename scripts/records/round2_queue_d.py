@@ -17,7 +17,8 @@ import sys
 import time
 import traceback
 
-ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROOT = os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, ROOT)
 
 from defensegan_tpu.utils.cache import enable_compilation_cache  # noqa: E402

@@ -3,7 +3,8 @@
 the queue-L collapse (0.348 was measured at R=1/L=25; flagship shows the
 replay leg flat in R at L=200)."""
 import sys, os
-ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROOT = os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, ROOT)
 sys.path.insert(1, os.path.join(ROOT, "scripts"))
 from defensegan_tpu.utils.cache import enable_compilation_cache

@@ -19,7 +19,7 @@ same override surface the reference exposes as --rec_rr/--rec_iters
 (SURVEY.md section 2 whitebox flags).
 
 Writes one JSON row per cell to output/results/rl_ablation_rows.jsonl.
-Run via scripts/round3_queue_j.py (chip discipline).
+Run via scripts/records/round3_queue_j.py (chip discipline).
 """
 
 import json

@@ -90,13 +90,13 @@ LEGS = [
     {"name": "bench_line", "run": "script", "path": "bench.py",
      "argv": ["--max_wait", "0"]},
     {"name": "queue_t", "run": "script",
-     "path": "scripts/round3_queue_t.py"},
+     "path": "scripts/records/round3_queue_t.py"},
     {"name": "queue_u", "run": "script",
-     "path": "scripts/round3_queue_u.py"},
+     "path": "scripts/records/round3_queue_u.py"},
     {"name": "queue_v", "run": "script",
-     "path": "scripts/round3_queue_v.py"},
+     "path": "scripts/records/round3_queue_v.py"},
     {"name": "queue_w", "run": "script",
-     "path": "scripts/round3_queue_w.py"},
+     "path": "scripts/records/round3_queue_w.py"},
     {"name": "serving_ab_bare", "run": "script",
      "path": "scripts/serving_bench.py", "argv": SERVING_AB},
     {"name": "serving_ab_sharded", "run": "script",

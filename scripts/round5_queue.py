@@ -1,0 +1,182 @@
+#!/usr/bin/env python
+"""Round-5 chip queue — one data-driven LEGS table (queue_lib.run_spec).
+
+The round's security question (VERDICT round-4 item 2): the two-feature
+detector (rec err + purified top1-top2 margin, eval/detect.py) is now
+the load-bearing defense claim — the centered SPSA broke the rec-err
+layers outright (flagship: defended 0.039, two-sided AUC 0.136, joint
+undetected 96.1%; combined restored AUC 1.000 / joint 0.000). The
+textbook counter to the margin feature is a "confidently wrong"
+objective, and SPSA can optimize it forward-only. whitebox now ships it:
+--spsa_objective confident --spsa_margin_kappa K maximizes
+
+    conf_margin(x) - K - lam * |rec_err(x) - C|
+
+where conf_margin is z_w - max_{j!=w} z_j (positive iff misclassified,
+and then EQUAL to the detector's margin statistic on the purified
+image). kappa = the clean purified-margin MEDIAN (the well-informed
+attacker's aim point): flagship 31.65, digits 9.67 (committed detstats
+flagship_spsa_l300.npz / digits_cw_2f.npz). Centers = clean rec-err
+medians (flagship 0.033, digits 0.0017 — queue-V/round-4 values).
+
+Pre-registered predictions:
+  - conf_flagship_*: if the combined detector is breakable, this is the
+    attack that breaks it; joint undetected >> 0 means the round must
+    promote a third feature (restart dispersion — all_losses now saved
+    by --detect_save).
+  - The attacker faces a real tension: pushing the WRONG class margin
+    above the clean median through a purifier that reconstructs the
+    TRUE class is much harder than barely flipping the decision, and
+    every probe pays the full projection. Partial success (margin up,
+    success rate down) is itself a defense result — quantify it.
+
+Also in this queue (VERDICT items 3, 5, 6):
+  - equal-budget digits SPSA (80x64 — round-4 ran digits at 40x32, which
+    understated the attack) incl. the lam=6000 centered leg the round-4
+    queue armed but never ran;
+  - f-mnist + celeba_wide SPSA cells with detection stats (grid parity);
+  - CW-on-digits re-run saving the NEW detstats layout (all_losses
+    [N,R] per-restart finals) for the restart-dispersion feature
+    analysis;
+  - pipeline_exp recalibration rows: --calib_source test_tail (the
+    round-4 23.4%-clean-flag-rate diagnosis) vs the old train_tail rows,
+    combined + two_sided, digits + flagship.
+
+Run: python scripts/round5_queue.py [only_leg ...]   (cwd=/root/repo)
+Explicit leg names ignore .done markers (shared namespace
+output/round3_queue/ — r5_ prefix keeps them distinct).
+"""
+
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+sys.path.insert(1, os.path.join(ROOT, "scripts"))
+
+from defensegan_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
+import queue_lib  # noqa: E402
+
+
+def _script(path, argv=()):
+    queue_lib.run_script(path, list(argv))
+
+
+RUNNERS = {"script": _script}
+
+# flagship attack budget (matches the round-4 capstone cell exactly so
+# rows are comparable): 128 tests, 80 iters x 64 samples, chunk 8
+FLAGSHIP_SPSA = ["--cfg", "output/gans/mnist_fast", "--model", "A",
+                 "--attack_type", "spsa", "--num_tests", "128",
+                 "--attack_batch", "64", "--spsa_iters", "80",
+                 "--spsa_samples", "64", "--spsa_chunk", "8", "--detect"]
+DIGITS_SPSA = ["--cfg", "output/gans/digits", "--model", "A",
+               "--attack_type", "spsa", "--num_tests", "128",
+               "--attack_batch", "64", "--spsa_iters", "80",
+               "--spsa_samples", "64", "--spsa_chunk", "8", "--detect"]
+
+LEGS = [
+    # -- insurance first: a live-chip run of the redesigned bench
+    # (supervisor/worker, incremental records) so the driver's
+    # end-of-round BENCH_r05 capture has a warm compile cache behind it.
+    {"name": "r5_bench", "run": "script", "path": "bench.py"},
+
+    # -- the counter-attack to the detector of record ------------------
+    {"name": "r5_conf_flagship_l300", "run": "script", "path": "whitebox.py",
+     "argv": FLAGSHIP_SPSA + [
+         "--spsa_objective", "confident", "--spsa_margin_kappa", "31.65",
+         "--spsa_rec_penalty", "300", "--spsa_rec_center", "0.033",
+         "--save_adv", "output/advsets/flagship_conf_l300.npz",
+         "--detect_save", "output/detstats/flagship_conf_l300.npz"]},
+    {"name": "r5_conf_flagship_l30", "run": "script", "path": "whitebox.py",
+     "argv": FLAGSHIP_SPSA + [
+         "--spsa_objective", "confident", "--spsa_margin_kappa", "31.65",
+         "--spsa_rec_penalty", "30", "--spsa_rec_center", "0.033",
+         "--detect_save", "output/detstats/flagship_conf_l30.npz"]},
+    # softer aim point: kappa at the clean 10th percentile — the
+    # attacker only needs OUT of the detector's 5% low tail, not to the
+    # median; if this leg leaks more than kappa=median, the frontier
+    # bends where theory says it should
+    {"name": "r5_conf_flagship_k25_l300", "run": "script",
+     "path": "whitebox.py",
+     "argv": FLAGSHIP_SPSA + [
+         "--spsa_objective", "confident", "--spsa_margin_kappa", "25.56",
+         "--spsa_rec_penalty", "300", "--spsa_rec_center", "0.033",
+         "--detect_save", "output/detstats/flagship_conf_k25_l300.npz"]},
+
+    # -- equal-budget digits grid (VERDICT 6) + its confident counter --
+    {"name": "r5_spsa_digits_eq", "run": "script", "path": "whitebox.py",
+     "argv": DIGITS_SPSA},
+    {"name": "r5_spsa_da_digits_l6000_eq", "run": "script",
+     "path": "whitebox.py",
+     "argv": DIGITS_SPSA + [
+         "--spsa_rec_penalty", "6000", "--spsa_rec_center", "0.0017",
+         "--detect_save", "output/detstats/digits_spsa_l6000_eq.npz"]},
+    {"name": "r5_conf_digits_l6000", "run": "script", "path": "whitebox.py",
+     "argv": DIGITS_SPSA + [
+         "--spsa_objective", "confident", "--spsa_margin_kappa", "9.67",
+         "--spsa_rec_penalty", "6000", "--spsa_rec_center", "0.0017",
+         "--save_adv", "output/advsets/digits_conf_l6000.npz",
+         "--detect_save", "output/detstats/digits_conf_l6000.npz"]},
+
+    # -- grid parity: SPSA cells on the remaining trained targets ------
+    {"name": "r5_spsa_fmnist", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/f-mnist", "--model", "A",
+              "--attack_type", "spsa", "--num_tests", "128",
+              "--attack_batch", "64", "--spsa_iters", "80",
+              "--spsa_samples", "64", "--spsa_chunk", "8", "--detect",
+              "--detect_save", "output/detstats/fmnist_spsa.npz"]},
+    {"name": "r5_spsa_celeba_wide", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/celeba_wide", "--model", "A",
+              "--attack_type", "spsa", "--num_tests", "64",
+              "--attack_batch", "32", "--spsa_iters", "80",
+              "--spsa_samples", "64", "--spsa_chunk", "8", "--detect",
+              "--detect_save", "output/detstats/celeba_wide_spsa.npz"]},
+
+    # -- CW-on-digits with the new detstats layout (all_losses [N,R])
+    # for the restart-dispersion third-feature analysis (VERDICT 5)
+    {"name": "r5_cw_digits_3f", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/digits", "--model", "A",
+              "--attack_type", "cw", "--num_tests", "256",
+              "--classifier_epochs", "10", "--attack_rec_iters", "200",
+              "--attack_batch", "128", "--cw_max_iterations", "200",
+              "--cw_binary_search_steps", "4", "--cw_abort_early",
+              "--cw_chunk_iters", "25", "--detect",
+              "--detect_save", "output/detstats/digits_cw_3f.npz"]},
+
+    # -- serving recalibration (VERDICT 3): test-distribution calibration
+    # vs the round-4 train-tail rows, both detectors, digits + flagship
+    {"name": "r5_pipe_digits_comb_testcal", "run": "script",
+     "path": "scripts/pipeline_exp.py",
+     "argv": ["--cfg", "output/gans/digits", "--model", "A",
+              "--detector", "combined", "--calib_source", "test_tail",
+              "--sets", "output/advsets/digits_fgsm.npz",
+              "output/advsets/digits_cw.npz",
+              "output/advsets/digits_pgd.npz",
+              "output/advsets/digits_pgd_pen30.npz",
+              "output/advsets/digits_pgd_cen.npz"]},
+    {"name": "r5_pipe_digits_2s_testcal", "run": "script",
+     "path": "scripts/pipeline_exp.py",
+     "argv": ["--cfg", "output/gans/digits", "--model", "A",
+              "--detector", "two_sided", "--calib_source", "test_tail",
+              "--sets", "output/advsets/digits_cw.npz"]},
+    {"name": "r5_pipe_flagship_comb_testcal", "run": "script",
+     "path": "scripts/pipeline_exp.py",
+     "argv": ["--cfg", "output/gans/mnist_fast", "--model", "A",
+              "--detector", "combined", "--calib_source", "test_tail",
+              "--sets", "output/advsets/flagship_spsa_l300.npz"]},
+    # the confident advset through the serving surface (depends on
+    # r5_conf_flagship_l300 having saved it; queue order guarantees that)
+    {"name": "r5_pipe_flagship_conf", "run": "script",
+     "path": "scripts/pipeline_exp.py",
+     "argv": ["--cfg", "output/gans/mnist_fast", "--model", "A",
+              "--detector", "combined", "--calib_source", "test_tail",
+              "--sets", "output/advsets/flagship_conf_l300.npz"]},
+]
+
+if __name__ == "__main__":
+    queue_lib.run_spec(LEGS, RUNNERS, only=sys.argv[1:],
+                       label="round5 queue")

@@ -315,12 +315,15 @@ def test_detection_features_matches_reconstruction_errors():
 
     errs_ref = reconstruction_errors(gan, x, key=jax.random.key(22),
                                      batch_size=4)
-    errs, margins = detection_features(gan, x, logits_fn,
-                                       key=jax.random.key(22),
-                                       batch_size=4)
+    errs, margins, all_losses = detection_features(gan, x, logits_fn,
+                                                   key=jax.random.key(22),
+                                                   batch_size=4)
     np.testing.assert_array_equal(errs, errs_ref)
     assert errs.shape == margins.shape == (6,)
     assert (margins >= 0).all()  # top1 - top2 is nonnegative
+    # per-restart losses ride along: [N, R], best restart == errs
+    assert all_losses.shape == (6, 2)
+    np.testing.assert_allclose(all_losses.min(axis=1), errs, rtol=1e-6)
 
 
 def test_calibration_sweep_combined_detector():

@@ -246,3 +246,109 @@ def test_whitebox_spsa_rec_penalty_end_to_end(tmp_path, monkeypatch):
     assert rec["spsa_rec_center"] == 0.05
     assert rec["detection_auc"] is not None
     assert 0.0 <= rec["defended_acc"] <= 1.0
+
+
+def test_confident_margin_loss_semantics():
+    """Positive iff misclassified; when positive it EQUALS the detector's
+    top1-top2 margin; when the classifier is correct it degrades to the
+    plain margin loss (best-wrong minus true = margin_loss)."""
+    from defensegan_tpu.attacks import confident_margin_loss
+
+    logits = jnp.array([[5.0, 2.0, 1.0],    # correct (y=0)
+                        [1.0, 4.0, 3.0],    # wrong (y=0, top1=1)
+                        [1.0, 4.0, 3.9]])   # wrong, barely (y=0)
+    labels = jnp.array([0, 0, 0])
+    c = np.asarray(confident_margin_loss(logits, labels))
+    m = np.asarray(margin_loss(logits, labels))
+    # correct example: identical to margin loss (z_w - z_y = 2 - 5)
+    assert c[0] == m[0] == -3.0
+    # wrong examples: c = top1 - top2 of the full logits (the purified-
+    # margin statistic the combined detector thresholds)
+    np.testing.assert_allclose(c[1], 4.0 - 3.0)
+    np.testing.assert_allclose(c[2], 4.0 - 3.9, rtol=1e-6)
+    # sign characterizes success exactly
+    assert (c > 0).tolist() == [False, True, True]
+
+
+def test_spsa_rounds_n_samples_up_to_chunk_multiple(capsys):
+    """n_samples not divisible by chunk_samples is rounded UP so every
+    probe batch shares one shape/compile (round-4 advisor)."""
+    calls = []
+
+    def loss_fn(x_flat, y_flat, k):
+        calls.append(x_flat.shape[0])
+        return jnp.zeros((x_flat.shape[0],))
+
+    attack = make_spsa(loss_fn, eps=0.1, nb_iter=1, n_samples=12,
+                       chunk_samples=8, freeze_on_success=False)
+    assert "rounding n_samples 12 up to 16" in capsys.readouterr().out
+    x = jnp.full((2,) + SHAPE, 0.5)
+    attack(x, jnp.zeros((2,), jnp.int32), jax.random.key(0))
+    # every probe dispatch is the SAME shape: chunk(8) x batch(2) images
+    # per sign — 16 rounded into two full chunks, no odd 4-wide tail
+    probe = [s for s in calls if s != 2]  # 2 = the current-point eval
+    assert probe == [8 * 2] * 4  # 2 chunks x 2 signs, all full-shape
+
+
+def test_whitebox_confident_objective_flag_validation():
+    from defensegan_tpu.cli import whitebox
+
+    # confident objective targets the purified-margin statistic: needs
+    # spsa + defense_gan + through-defense and an explicit kappa
+    with pytest.raises(SystemExit):
+        whitebox.main(["--attack_type", "spsa", "--defense_type",
+                       "defense_gan", "--spsa_objective", "confident"])
+    with pytest.raises(SystemExit):
+        whitebox.main(["--attack_type", "spsa", "--defense_type", "none",
+                       "--spsa_objective", "confident",
+                       "--spsa_margin_kappa", "10"])
+    with pytest.raises(SystemExit):
+        whitebox.main(["--attack_type", "fgsm", "--spsa_objective",
+                       "confident", "--spsa_margin_kappa", "10"])
+    # kappa only shapes the confident objective
+    with pytest.raises(SystemExit):
+        whitebox.main(["--attack_type", "spsa", "--defense_type",
+                       "defense_gan", "--spsa_margin_kappa", "10"])
+
+
+@pytest.mark.slow
+def test_whitebox_confident_spsa_end_to_end(tmp_path, monkeypatch):
+    """The combined-detector counter-attack runs end-to-end through a
+    micro GAN and records its objective + kappa provenance."""
+    monkeypatch.chdir(tmp_path)
+    import os
+
+    from defensegan_tpu.cli import train, whitebox
+
+    cfg_yml = os.path.join(os.path.dirname(__file__), "..",
+                           "defensegan_tpu", "configs", "gans", "mnist.yml")
+    out = str(tmp_path / "run")
+    train.main(["--cfg", cfg_yml, "--output_dir", out, "--is_train",
+                "--train_iters", "10",
+                "--override", "GEN_DIM=8", "--override", "DISC_DIM=8",
+                "--override", "LATENT_DIM=16", "--override", "DISC_ITERS=1",
+                "--override", "COMPUTE_DTYPE=float32",
+                "--override", "SAMPLE_EVERY=10",
+                "--override", "SAVE_EVERY=10",
+                "--rec_rr", "2", "--rec_iters", "5", "--batch_size", "8"])
+    rec = whitebox.main([
+        "--cfg", out, "--attack_type", "spsa", "--defense_type",
+        "defense_gan", "--model", "E", "--num_tests", "8",
+        "--classifier_epochs", "1", "--attack_batch", "8",
+        "--rec_rr", "2", "--rec_iters", "5", "--attack_rec_iters", "3",
+        "--spsa_iters", "2", "--spsa_samples", "2", "--spsa_chunk", "2",
+        "--spsa_objective", "confident", "--spsa_margin_kappa", "1.5",
+        "--spsa_rec_penalty", "30", "--spsa_rec_center", "0.05",
+        "--detect", "--detect_save", str(tmp_path / "stats.npz"),
+        "--results_dir", str(tmp_path / "results")])
+    assert rec["spsa_objective"] == "confident"
+    assert rec["spsa_margin_kappa"] == 1.5
+    assert rec["detection_auc_combined"] is not None
+    stats = np.load(tmp_path / "stats.npz", allow_pickle=False)
+    import json
+    meta = json.loads(str(stats["meta"]))
+    assert meta["spsa_objective"] == "confident"
+    assert meta["spsa_margin_kappa"] == 1.5
+    # restart-dispersion raw material rides along: [N, R]
+    assert stats["all_losses_clean"].shape == (8, 2)
+    assert stats["all_losses_adv"].shape == (8, 2)
