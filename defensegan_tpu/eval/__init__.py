@@ -11,7 +11,9 @@ from defensegan_tpu.eval.accuracy import model_eval, model_eval_gan
 from defensegan_tpu.eval.detect import (bootstrap_auc_ci, calibration_sweep,
                                         combined_scores, detection_features,
                                         ecdf_atypicality,
-                                        reconstruction_errors, roc_auc,
+                                        multi_feature_scores,
+                                        reconstruction_errors,
+                                        restart_dispersion, roc_auc,
                                         roc_points, tpr_at_fpr,
                                         two_sided_scores,
                                         undetected_success_rate)
@@ -23,7 +25,9 @@ __all__ = [
     "combined_scores",
     "detection_features",
     "ecdf_atypicality",
+    "multi_feature_scores",
     "reconstruction_errors",
+    "restart_dispersion",
     "roc_auc",
     "roc_points",
     "tpr_at_fpr",

@@ -160,6 +160,23 @@ def ecdf_atypicality(vals: np.ndarray, calib: np.ndarray,
     return 1.0 - u if side == "low" else u
 
 
+def multi_feature_scores(features) -> np.ndarray:
+    """N-feature detection statistic: max of per-feature atypicality.
+
+    features: sequence of (vals [N], calib [M], side) triples, each
+    scored by ecdf_atypicality. max (not sum) keeps the per-feature
+    semantics: a clean input needs EVERY feature typical, which grows
+    the clean tail mass roughly linearly in the feature count at a given
+    per-feature threshold — the (1 - fpr) quantile of the max score on
+    clean calibration absorbs that automatically. The measured cost
+    (RESULTS.md round 5): on cells where one feature is strong and the
+    others uninformative, the max dilutes the strong one's AUC — adding
+    features is only free at the flag/no-flag threshold, not in AUC.
+    """
+    scores = [ecdf_atypicality(v, c, side) for v, c, side in features]
+    return np.maximum.reduce(scores)
+
+
 def combined_scores(errs: np.ndarray, margins: np.ndarray,
                     errs_calib: np.ndarray, margins_calib: np.ndarray
                     ) -> np.ndarray:
@@ -167,14 +184,44 @@ def combined_scores(errs: np.ndarray, margins: np.ndarray,
 
     max(two-sided rec-err score, low-tail purified-margin score) — an
     input is flagged if EITHER feature is atypical vs clean calibration.
-    max (not sum) keeps the per-feature semantics: a clean input needs
-    both features typical, which roughly doubles the clean tail mass at
-    a given per-feature threshold — the (1 - fpr) quantile of the
-    combined score on clean calibration absorbs that automatically.
     """
-    return np.maximum(
-        ecdf_atypicality(errs, errs_calib, "two_sided"),
-        ecdf_atypicality(margins, margins_calib, "low"))
+    return multi_feature_scores([(errs, errs_calib, "two_sided"),
+                                 (margins, margins_calib, "low")])
+
+
+def restart_dispersion(all_losses: np.ndarray, kind: str = "rel_gap"
+                       ) -> np.ndarray:
+    """Per-image dispersion of the R restart final losses — the
+    candidate THIRD detection feature (free: defense/project.py returns
+    all_losses [B, R] with every reconstruction).
+
+    Rationale: the projection runs R independent z0 basins per image;
+    the detector scores only the WINNER's loss. A detection-aware
+    attacker (centered SPSA/PGD) sculpts the input so the winning loss
+    lands on the clean median — but the R-1 losing basins are not
+    directly optimized, so their spread relative to the winner is a
+    side channel the attacker does not control. Scored two-sided vs
+    clean calibration (either unusually tight or unusually wide is
+    atypical).
+
+    kinds (all scale-normalized by the winner so the statistic is
+    comparable across the clean rec-err range):
+      rel_gap: (mean - min) / (min + eps) — mean regret of the losers
+      rel_spread: (max - min) / (min + eps)
+      cv: std / (mean + eps) — plain coefficient of variation
+    """
+    al = np.asarray(all_losses, np.float64)
+    if al.ndim != 2:
+        raise ValueError(f"all_losses must be [N, R], got {al.shape}")
+    eps = 1e-12
+    mn = al.min(axis=1)
+    if kind == "rel_gap":
+        return (al.mean(axis=1) - mn) / (mn + eps)
+    if kind == "rel_spread":
+        return (al.max(axis=1) - mn) / (mn + eps)
+    if kind == "cv":
+        return al.std(axis=1) / (al.mean(axis=1) + eps)
+    raise ValueError(f"unknown dispersion kind {kind!r}")
 
 
 def roc_auc(scores_neg: np.ndarray, scores_pos: np.ndarray) -> float:

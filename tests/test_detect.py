@@ -356,3 +356,82 @@ def test_calibration_sweep_combined_detector():
     assert abs(big["fpr_mean"] - 0.05) < 0.03
     assert big["tpr_mean"] > 0.9           # margin feature carries it
     assert rows_2s[-1]["tpr_mean"] < 0.2   # rec-err alone blind
+
+
+def test_restart_dispersion_kinds_and_validation():
+    from defensegan_tpu.eval import restart_dispersion
+
+    al = np.array([[1.0, 3.0, 2.0],
+                   [2.0, 2.0, 2.0]])
+    rg = restart_dispersion(al, "rel_gap")
+    np.testing.assert_allclose(rg, [(2.0 - 1.0) / 1.0, 0.0])
+    rs = restart_dispersion(al, "rel_spread")
+    np.testing.assert_allclose(rs, [2.0, 0.0])
+    cv = restart_dispersion(al, "cv")
+    np.testing.assert_allclose(cv[1], 0.0)
+    assert cv[0] > 0
+    with pytest.raises(ValueError):
+        restart_dispersion(al[0], "rel_gap")     # needs [N, R]
+    with pytest.raises(ValueError):
+        restart_dispersion(al, "nope")
+
+
+def test_multi_feature_scores_generalizes_combined():
+    """combined_scores must be exactly the 2-feature special case, and
+    a 3rd uninformative feature must never LOWER any example's score
+    (max composition)."""
+    from defensegan_tpu.eval import combined_scores, multi_feature_scores
+
+    rng = np.random.default_rng(5)
+    errs_c = rng.normal(0.03, 0.005, 200)
+    marg_c = rng.normal(5.0, 1.0, 200)
+    errs_a = rng.normal(0.05, 0.005, 100)
+    marg_a = rng.normal(0.5, 0.3, 100)
+    two = combined_scores(errs_a, marg_a, errs_c, marg_c)
+    two_mf = multi_feature_scores([(errs_a, errs_c, "two_sided"),
+                                   (marg_a, marg_c, "low")])
+    np.testing.assert_array_equal(two, two_mf)
+    disp_c = rng.normal(1.0, 0.2, 200)
+    disp_a = rng.normal(1.0, 0.2, 100)     # uninformative third feature
+    three = multi_feature_scores([(errs_a, errs_c, "two_sided"),
+                                  (marg_a, marg_c, "low"),
+                                  (disp_a, disp_c, "two_sided")])
+    assert (three >= two).all()
+
+
+def test_dispersion_catches_centered_winner_with_sculpted_basins():
+    """The third-feature premise: an attacker centers the WINNING loss
+    on the clean median but collapses/skews the losing basins; the
+    2-feature detector (err typical, margin high) misses it, the
+    dispersion feature flags it."""
+    from defensegan_tpu.eval import (multi_feature_scores,
+                                     restart_dispersion, roc_auc)
+
+    rng = np.random.default_rng(7)
+    n, r = 300, 10
+    # clean: winner ~0.03, losers spread well above it
+    clean_win = rng.normal(0.03, 0.003, (n, 1))
+    clean_rest = clean_win + np.abs(rng.normal(0.02, 0.008, (n, r - 1)))
+    al_clean = np.concatenate([clean_win, clean_rest], 1)
+    # adversarial: winner ON the clean median, basins collapsed tight
+    adv_win = np.full((n, 1), 0.03)
+    adv_rest = adv_win + np.abs(rng.normal(0.001, 0.0005, (n, r - 1)))
+    al_adv = np.concatenate([adv_win, adv_rest], 1)
+    errs_c, errs_a = al_clean.min(1), al_adv.min(1)
+    marg_c = rng.normal(5.0, 1.0, n)
+    marg_a = rng.normal(5.0, 1.0, n)       # confidently-wrong: margin typical
+
+    two_c = multi_feature_scores([(errs_c, errs_c, "two_sided"),
+                                  (marg_c, marg_c, "low")])
+    two_a = multi_feature_scores([(errs_a, errs_c, "two_sided"),
+                                  (marg_a, marg_c, "low")])
+    assert roc_auc(two_c, two_a) < 0.65    # 2f is (near) blind here
+    d_c = restart_dispersion(al_clean, "rel_gap")
+    d_a = restart_dispersion(al_adv, "rel_gap")
+    three_c = multi_feature_scores([(errs_c, errs_c, "two_sided"),
+                                    (marg_c, marg_c, "low"),
+                                    (d_c, d_c, "two_sided")])
+    three_a = multi_feature_scores([(errs_a, errs_c, "two_sided"),
+                                    (marg_a, marg_c, "low"),
+                                    (d_a, d_c, "two_sided")])
+    assert roc_auc(three_c, three_a) > 0.95
