@@ -22,9 +22,12 @@ from defensegan_tpu.parallel.distributed import (
     make_shard_map_train_step,
 )
 from defensegan_tpu.parallel.serving import ShardedDefenseGAN
+from defensegan_tpu.parallel.tp import (MODEL_AXIS, make_mesh_2d,
+                                        shard_params_tp, tp_spec)
 
 __all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
            "shard_batch", "validate_batch_for_mesh",
            "validate_projection_sharding", "initialize_distributed",
            "make_shard_map_train_step", "global_batch_sharding",
-           "ShardedDefenseGAN"]
+           "ShardedDefenseGAN", "MODEL_AXIS", "make_mesh_2d",
+           "shard_params_tp", "tp_spec"]
