@@ -26,13 +26,23 @@ Usage:
 
 Detector choices: "two_sided" (default; |err - clean median| — robust to
 rec-penalty attacks that push errors BELOW clean, eval/detect.py),
-"one_sided" (the paper's "adversarial = high rec error"), or "combined"
+"one_sided" (the paper's "adversarial = high rec error"), "combined"
 (two-feature: max of two-sided rec-err atypicality and low-tail
 PURIFIED-margin atypicality, both clean-ECDF-calibrated — targets
 minimum-distortion attacks like CW that stay near the manifold but
-barely flip the decision; eval/detect.py::combined_scores). The margin
-feature reuses the logits the pipeline computes anyway, so "combined"
-costs nothing extra at serving time.
+barely flip the decision; eval/detect.py::combined_scores), or
+"combined3" (adds the restart-dispersion feature: two-sided atypicality
+of the R restart finals' winner-normalized spread,
+eval/detect.py::restart_dispersion — the side channel a detection-aware
+attacker does not directly optimize when centering the winning loss).
+The margin feature reuses the logits the pipeline computes anyway, and
+the dispersion feature reuses the projection's per-restart losses, so
+both cost nothing extra at serving time.
+
+Calibrate on held-out clean data FROM THE SERVING DISTRIBUTION: round-4
+measured a 23.4% clean flag rate at a 5% FPR target when the margin
+ECDF was calibrated on train-tail images (optimistically high purified
+margins) — see scripts/pipeline_exp.py --calib_source.
 """
 
 from __future__ import annotations
@@ -49,6 +59,7 @@ class PipelineResult(NamedTuple):
     flagged: np.ndarray   # [N] bool detection decision (True = reject)
     rec_err: np.ndarray   # [N] float final projection loss (the statistic)
     margin: np.ndarray    # [N] float purified top1-top2 logit margin
+    dispersion: np.ndarray  # [N] float restart-dispersion statistic
 
 
 class DefendedPipeline:
@@ -67,8 +78,10 @@ class DefendedPipeline:
                  rec_rr: Optional[int] = None,
                  rec_iters: Optional[int] = None,
                  rec_lr: Optional[float] = None,
-                 rec_kernel: Optional[str] = None):
-        if detector not in ("two_sided", "one_sided", "combined"):
+                 rec_kernel: Optional[str] = None,
+                 dispersion_kind: str = "rel_gap"):
+        if detector not in ("two_sided", "one_sided", "combined",
+                            "combined3"):
             raise ValueError(f"unknown detector {detector!r}")
         if not 0.0 < fpr < 1.0:
             raise ValueError(f"fpr must be in (0, 1), got {fpr}")
@@ -76,12 +89,14 @@ class DefendedPipeline:
         self.logits_fn = logits_fn
         self.fpr = float(fpr)
         self.detector = detector
+        self.dispersion_kind = dispersion_kind
         self._rec = dict(rec_rr=rec_rr, rec_iters=rec_iters, rec_lr=rec_lr,
                          rec_kernel=rec_kernel)
         self._center: Optional[float] = None      # clean rec-err median
         self._threshold: Optional[float] = None   # detector score cutoff
         self._errs_calib: Optional[np.ndarray] = None    # combined: ECDFs
         self._margins_calib: Optional[np.ndarray] = None
+        self._disp_calib: Optional[np.ndarray] = None    # combined3
 
         @jax.jit
         def _pred(x_hat):
@@ -93,24 +108,30 @@ class DefendedPipeline:
 
     # ------------------------------------------------------------ internals
     def _scores(self, errs: np.ndarray,
-                margins: Optional[np.ndarray] = None) -> np.ndarray:
-        if self.detector == "combined":
-            from defensegan_tpu.eval.detect import combined_scores
-            return combined_scores(errs, margins,
-                                   self._errs_calib, self._margins_calib)
+                margins: Optional[np.ndarray] = None,
+                dispersion: Optional[np.ndarray] = None) -> np.ndarray:
+        if self.detector in ("combined", "combined3"):
+            from defensegan_tpu.eval.detect import multi_feature_scores
+            features = [(errs, self._errs_calib, "two_sided"),
+                        (margins, self._margins_calib, "low")]
+            if self.detector == "combined3":
+                features.append((dispersion, self._disp_calib, "two_sided"))
+            return multi_feature_scores(features)
         if self.detector == "two_sided":
             return np.abs(errs - self._center)
         return errs
 
     def _run(self, x: np.ndarray, key: jax.Array,
              batch_size: Optional[int]):
-        """One shared projection pass: (preds, rec_errs, margins).
+        """One shared projection pass: (preds, rec_errs, margins,
+        dispersion).
 
         Batching/padding/keys ride eval/accuracy.py::batched_reconstruct
         — the same loop the offline eval and detector use."""
         from defensegan_tpu.eval.accuracy import batched_reconstruct
+        from defensegan_tpu.eval.detect import restart_dispersion
 
-        preds, errs, margins = [], [], []
+        preds, errs, margins, disps = [], [], [], []
         for res, lo, hi in batched_reconstruct(self.gan, x, key=key,
                                                batch_size=batch_size,
                                                **self._rec):
@@ -118,8 +139,10 @@ class DefendedPipeline:
             preds.append(np.asarray(pb)[:hi - lo])
             margins.append(np.asarray(mb, np.float64)[:hi - lo])
             errs.append(np.asarray(res.loss, np.float64)[:hi - lo])
+            al = np.asarray(res.all_losses, np.float64)[:hi - lo]
+            disps.append(restart_dispersion(al, self.dispersion_kind))
         return (np.concatenate(preds), np.concatenate(errs),
-                np.concatenate(margins))
+                np.concatenate(margins), np.concatenate(disps))
 
     # ------------------------------------------------------------ public
     def calibrate(self, x_clean: np.ndarray,
@@ -133,16 +156,19 @@ class DefendedPipeline:
         Returns self (chainable).
         """
         key = key if key is not None else jax.random.key(0)
-        _, errs, margins = self._run(np.asarray(x_clean), key, batch_size)
+        _, errs, margins, disps = self._run(np.asarray(x_clean), key,
+                                            batch_size)
         self._center = float(np.median(errs))
-        if self.detector == "combined":
+        if self.detector in ("combined", "combined3"):
             # the ECDF calibration tables ARE the detector (sorted clean
             # feature samples); the threshold is the (1-fpr) quantile of
             # the clean combined score — all clean-data-only statistics
             self._errs_calib = np.sort(errs)
             self._margins_calib = np.sort(margins)
-        self._threshold = float(np.quantile(self._scores(errs, margins),
-                                            1.0 - self.fpr))
+            if self.detector == "combined3":
+                self._disp_calib = np.sort(disps)
+        self._threshold = float(np.quantile(
+            self._scores(errs, margins, disps), 1.0 - self.fpr))
         return self
 
     @property
@@ -156,8 +182,10 @@ class DefendedPipeline:
             raise RuntimeError("call calibrate(x_clean) before predict() — "
                                "the detector threshold is fit on clean data")
         key = key if key is not None else jax.random.key(1)
-        preds, errs, margins = self._run(np.asarray(x), key, batch_size)
-        flagged = self._scores(errs, margins) > self._threshold
+        preds, errs, margins, disps = self._run(np.asarray(x), key,
+                                                batch_size)
+        flagged = self._scores(errs, margins, disps) > self._threshold
         return PipelineResult(pred=preds.astype(np.int32), flagged=flagged,
                               rec_err=errs.astype(np.float32),
-                              margin=margins.astype(np.float32))
+                              margin=margins.astype(np.float32),
+                              dispersion=disps.astype(np.float32))

@@ -47,7 +47,7 @@ def main(argv=None):
                     help="npz files from whitebox.py --save_adv")
     ap.add_argument("--fpr", type=float, default=0.05)
     ap.add_argument("--detector", default="two_sided",
-                    choices=["two_sided", "one_sided", "combined"])
+                    choices=["two_sided", "one_sided", "combined", "combined3"])
     ap.add_argument("--calib_n", type=int, default=256)
     ap.add_argument("--calib_source", default="test_tail",
                     choices=["test_tail", "train_tail"],

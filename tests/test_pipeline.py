@@ -144,3 +144,39 @@ def test_pipeline_combined_rejects_unknown_detector():
     gan = _tiny_gan()
     with pytest.raises(ValueError):
         DefendedPipeline(gan, _logits_fn, detector="three_sided")
+
+
+def test_pipeline_combined3_dispersion_detector():
+    """detector='combined3': calibrates the third (restart-dispersion)
+    ECDF table, exposes the dispersion feature in PipelineResult, scores
+    with multi_feature_scores, and realizes ~fpr on clean (same-key)."""
+    gan = _tiny_gan()
+    rng = np.random.default_rng(9)
+    x_clean = rng.uniform(0.4, 0.9, (24, 28, 28, 1)).astype(np.float32)
+
+    pipe = DefendedPipeline(gan, _logits_fn, fpr=0.25,
+                            detector="combined3")
+    pipe.calibrate(x_clean, key=jax.random.key(16), batch_size=8)
+    assert pipe._disp_calib is not None and pipe._disp_calib.shape == (24,)
+
+    out = pipe.predict(x_clean, key=jax.random.key(16), batch_size=8)
+    assert out.dispersion.shape == (24,)
+    assert out.dispersion.dtype == np.float32
+    assert np.isfinite(out.dispersion).all()
+    assert (out.dispersion >= 0).all()     # winner-normalized spreads
+    assert out.flagged.mean() <= 0.35      # ~fpr on the calibration key
+
+    # the scorer is exactly eval.detect's 3-feature composition
+    from defensegan_tpu.eval import multi_feature_scores
+    s_ref = multi_feature_scores([
+        (out.rec_err.astype(np.float64), pipe._errs_calib, "two_sided"),
+        (out.margin.astype(np.float64), pipe._margins_calib, "low"),
+        (out.dispersion.astype(np.float64), pipe._disp_calib,
+         "two_sided")])
+    np.testing.assert_array_equal(out.flagged, s_ref > pipe._threshold)
+
+    # unknown dispersion kind fails at first use, loudly
+    bad = DefendedPipeline(gan, _logits_fn, detector="combined3",
+                           dispersion_kind="nope")
+    with pytest.raises(ValueError):
+        bad.calibrate(x_clean, key=jax.random.key(17), batch_size=8)
