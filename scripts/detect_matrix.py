@@ -47,6 +47,9 @@ def _lam(row):
             cen = row.get("pgd_rec_center")
             a += f" λ={lam:g}" + (f" c={cen:g}" if cen is not None else "")
     elif a == "spsa":
+        if row.get("spsa_objective") == "confident":
+            kappa = row.get("spsa_margin_kappa")
+            a += " CONF" + (f" κ={kappa:g}" if kappa is not None else "")
         it, ns = row.get("spsa_iters"), row.get("spsa_samples")
         if it is not None:
             a += f" T={it} n={ns}"
@@ -66,6 +69,7 @@ def whitebox_key(r):
             r.get("spsa_iters"), r.get("spsa_samples"),
             r.get("spsa_delta"), r.get("spsa_lr"),
             r.get("spsa_rec_penalty"), r.get("spsa_rec_center"),
+            r.get("spsa_objective"), r.get("spsa_margin_kappa"),
             r.get("attack_rec_iters"), r.get("eval_z0"),
             r.get("num_tests"), r.get("rec_rr"), r.get("rec_iters"))
 
@@ -79,7 +83,8 @@ def blackbox_key(r):
 def pipeline_key(r):
     return ("pl", r.get("dataset"), r.get("model"), r.get("set"),
             r.get("detector"), r.get("fpr"), r.get("calib_n"),
-            r.get("rec_rr"), r.get("rec_iters"), r.get("n"))
+            r.get("calib_source"), r.get("rec_rr"), r.get("rec_iters"),
+            r.get("n"))
 
 
 def _dedup(rows, keyfn):
