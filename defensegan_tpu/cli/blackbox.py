@@ -64,11 +64,20 @@ def main(argv=None):
                     "--detect: one/two-sided ROC AUC, detection rate at "
                     "5%% FPR, and the joint misclassified-AND-unflagged "
                     "rate; needs --defense_type defense_gan)")
+    ap.add_argument("--detect_save", default=None, metavar="PATH.npz",
+                    help="with --detect: save the per-example paired "
+                    "detection statistics (errs/margins/all_losses for "
+                    "clean+adv, defended_correct_adv, meta) for host-side "
+                    "analysis — same layout as whitebox --detect_save "
+                    "(scripts/{calibration,dispersion}_analysis.py)")
     ap.add_argument("--results_dir", default="output/results")
     args = ap.parse_args(argv)
     if args.detect and args.defense_type != "defense_gan":
         ap.error("--detect scores inputs with the GAN projection loss — "
                  "it needs --defense_type defense_gan")
+    if args.detect_save and not args.detect:
+        ap.error("--detect_save stores the --detect statistics; add "
+                 "--detect")
     cfg = cfg_from_args(args)
 
     ds = load_data(cfg)
@@ -190,9 +199,9 @@ def main(argv=None):
             # margins come from the TARGET classifier — the defender's
             # own model, exactly what a deployed detector can see.
             k_det = jax.random.fold_in(k_eval, 555)
-            errs_clean, marg_clean, _ = detection_features(
+            errs_clean, marg_clean, alll_clean = detection_features(
                 gan, x_eval, bb_logits, key=k_det)
-            errs_adv, marg_adv, _ = detection_features(
+            errs_adv, marg_adv, alll_adv = detection_features(
                 gan, x_adv, bb_logits, key=k_det)
         detection_auc = roc_auc(errs_clean, errs_adv)
         detection_tpr_fpr05, _ = tpr_at_fpr(errs_clean, errs_adv, 0.05)
@@ -222,6 +231,23 @@ def main(argv=None):
               f"undetected successful attacks {undetected_success:.4f} "
               f"one-sided / {undetected_success_2s:.4f} two-sided / "
               f"{undetected_success_comb:.4f} two-feature")
+        if args.detect_save:
+            ensure_dir(os.path.dirname(args.detect_save) or ".")
+            meta = {"dataset": cfg.type, "script": "blackbox",
+                    "bb_model": args.bb_model, "sub_model": args.sub_model,
+                    "attack": "fgsm_transfer", "defense": args.defense_type,
+                    "fgsm_eps": args.fgsm_eps, "data_aug": args.data_aug,
+                    "lmbda": args.lmbda,
+                    "rec_rr": cfg.rec_rr, "rec_iters": cfg.rec_iters}
+            np.savez(args.detect_save,
+                     errs_clean=errs_clean, errs_adv=errs_adv,
+                     margins_clean=marg_clean, margins_adv=marg_adv,
+                     all_losses_clean=alll_clean, all_losses_adv=alll_adv,
+                     defended_correct_adv=np.asarray(defended_correct_adv,
+                                                     bool),
+                     meta=json.dumps(meta))
+            print("saved per-example detection statistics to "
+                  f"{args.detect_save}")
 
     ensure_dir(args.results_dir)
     record = {

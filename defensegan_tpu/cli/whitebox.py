@@ -259,6 +259,24 @@ def main(argv=None):
                     help="with --save_adv: also dump every original and "
                     "adversarial image as its own PNG next to the npz "
                     "(reference save_images_files parity)")
+    ap.add_argument("--load_adv", default=None, metavar="PATH.npz",
+                    help="replay a saved adversarial set (--save_adv "
+                    "output) instead of crafting: x_clean/y/x_adv come "
+                    "from the npz, so new detectors/eval settings can be "
+                    "measured against an expensive attack without paying "
+                    "the craft again. Requires --attack_type none (the "
+                    "set's own attack provenance is in its meta and is "
+                    "recorded in the results row)")
+    ap.add_argument("--detect_passes", type=int, default=1, metavar="K",
+                    help="with --detect: score detection features "
+                    "averaged over K independent projection passes "
+                    "(distinct keys, clean/adv pairs share each key). "
+                    "An attacker optimizes the EXPECTED statistic over "
+                    "restart keys, so averaging concentrates both "
+                    "distributions around their means and widens the "
+                    "detector's separation at K-x serving cost; "
+                    "per-pass features are saved by --detect_save for "
+                    "offline K-sweeps")
     ap.add_argument("--detect_save", default=None, metavar="PATH.npz",
                     help="with --detect: save the per-example paired "
                     "detection statistics (errs_clean, errs_adv, "
@@ -335,11 +353,24 @@ def main(argv=None):
     if args.save_adv_pngs and not args.save_adv:
         ap.error("--save_adv_pngs dumps next to the --save_adv npz; "
                  "set --save_adv PATH.npz")
-    if args.detect and args.attack_type == "none":
+    if args.load_adv:
+        if args.attack_type != "none":
+            ap.error("--load_adv replays the npz's adversarial set; use "
+                     "--attack_type none (the set's attack provenance "
+                     "comes from its meta)")
+        if args.save_adv:
+            ap.error("--load_adv with --save_adv would re-save the same "
+                     "set; drop one")
+    if args.detect and args.attack_type == "none" and not args.load_adv:
         ap.error("--detect compares clean vs adversarial reconstruction "
-                 "errors; it needs an --attack_type")
+                 "errors; it needs an --attack_type (or --load_adv)")
     if args.detect_save and not args.detect:
         ap.error("--detect_save saves the --detect statistics; add "
+                 "--detect")
+    if args.detect_passes < 1:
+        ap.error("--detect_passes must be >= 1")
+    if args.detect_passes > 1 and not args.detect:
+        ap.error("--detect_passes shapes the --detect scoring; add "
                  "--detect")
     if args.attack_grad == "bpda" and (args.defense_type != "defense_gan"
                                        or args.attack_type == "none"
@@ -356,6 +387,17 @@ def main(argv=None):
     x_train, y_train = ds.load("train")
     x_test, y_test = ds.load("test")
     x_test, y_test = limit(x_test, y_test, args.num_tests)
+
+    adv_meta = None
+    x_adv_loaded = None
+    if args.load_adv:
+        d = np.load(args.load_adv, allow_pickle=False)
+        adv_meta = json.loads(str(d["meta"]))
+        x_test, y_test = limit(d["x_clean"], d["y"], args.num_tests)
+        x_adv_loaded = np.asarray(d["x_adv"])[:x_test.shape[0]]
+        print(f"replaying adversarial set {args.load_adv} "
+              f"({x_adv_loaded.shape[0]} examples; attack "
+              f"{adv_meta.get('attack')}, meta {adv_meta})")
 
     need_gan = (args.defense_type == "defense_gan" or args.train_on_recs
                 or args.detect)
@@ -412,7 +454,9 @@ def main(argv=None):
 
     # --- craft adversarial examples in jitted batches
     t0 = time.time()
-    if args.attack_type == "none":
+    if args.load_adv:
+        x_adv = x_adv_loaded
+    elif args.attack_type == "none":
         x_adv = x_test.copy()
     else:
         if args.attack_type == "fgsm":
@@ -711,10 +755,30 @@ def main(argv=None):
             # also yields the purified-margin feature (top1-top2 logit on
             # G(z*)) for the two-feature detector.
             k_det = jax.random.fold_in(k_eval, 555)
-            errs_clean, marg_clean, alll_clean = detection_features(
-                gan, x_test, logits_fn, key=k_det)
-            errs_adv, marg_adv, alll_adv = detection_features(
-                gan, x_adv, logits_fn, key=k_det)
+            passes_c, passes_a = [], []
+            for p in range(args.detect_passes):
+                # pass 0 keeps the historical key (k_det itself), so
+                # K=1 reproduces every committed row bit-for-bit
+                kp = k_det if p == 0 else jax.random.fold_in(k_det, p)
+                passes_c.append(detection_features(
+                    gan, x_test, logits_fn, key=kp))
+                passes_a.append(detection_features(
+                    gan, x_adv, logits_fn, key=kp))
+            # K-pass features: the attacker optimizes the EXPECTED
+            # statistics over keys; averaging K independent draws
+            # shrinks both classes' spread ~sqrt(K) around means the
+            # attacker could only partially move — wider separation for
+            # K-x detection cost (RESULTS.md round-5 K-sweep)
+            errs_clean_pp = np.stack([f.errs for f in passes_c])
+            errs_adv_pp = np.stack([f.errs for f in passes_a])
+            marg_clean_pp = np.stack([f.margins for f in passes_c])
+            marg_adv_pp = np.stack([f.margins for f in passes_a])
+            errs_clean = errs_clean_pp.mean(0)
+            errs_adv = errs_adv_pp.mean(0)
+            marg_clean = marg_clean_pp.mean(0)
+            marg_adv = marg_adv_pp.mean(0)
+            alll_clean = passes_c[0].all_losses
+            alll_adv = passes_a[0].all_losses
         detection_auc = roc_auc(errs_clean, errs_adv)
         detection_tpr_fpr05, _ = tpr_at_fpr(errs_clean, errs_adv, 0.05)
         rec_err_clean = float(errs_clean.mean())
@@ -775,7 +839,12 @@ def main(argv=None):
                     "attack": args.attack_type,
                     "defense": args.defense_type,
                     "fgsm_eps": args.fgsm_eps,
+                    "detect_passes": args.detect_passes,
                     "rec_rr": cfg.rec_rr, "rec_iters": cfg.rec_iters}
+            if adv_meta is not None:
+                meta["attack"] = adv_meta.get("attack")
+                meta["replayed_from"] = args.load_adv
+                meta["adv_meta"] = adv_meta
             if args.attack_type == "pgd":
                 meta.update(pgd_rec_penalty=args.pgd_rec_penalty,
                             pgd_rec_center=args.pgd_rec_center,
@@ -796,6 +865,13 @@ def main(argv=None):
                       "margins_clean": marg_clean, "margins_adv": marg_adv,
                       "all_losses_clean": alll_clean,
                       "all_losses_adv": alll_adv}
+            if args.detect_passes > 1:
+                # per-pass features [K, N]: any K' <= K detector is a
+                # subset-average away (offline K-sweeps, no chip)
+                arrays.update(errs_clean_pp=errs_clean_pp,
+                              errs_adv_pp=errs_adv_pp,
+                              margins_clean_pp=marg_clean_pp,
+                              margins_adv_pp=marg_adv_pp)
             if defended_correct_adv is not None:
                 arrays["defended_correct_adv"] = np.asarray(
                     defended_correct_adv, bool)
@@ -806,7 +882,11 @@ def main(argv=None):
     ensure_dir(args.results_dir)
     record = {
         "script": "whitebox", "dataset": cfg.type, "model": args.model,
-        "attack": args.attack_type, "defense": args.defense_type,
+        "attack": (f"{adv_meta.get('attack', '?')}_replay"
+                   if args.load_adv else args.attack_type),
+        "load_adv": args.load_adv, "adv_meta": adv_meta,
+        "detect_passes": args.detect_passes if args.detect else None,
+        "defense": args.defense_type,
         "fgsm_eps": args.fgsm_eps, "num_tests": int(x_test.shape[0]),
         "rec_rr": cfg.rec_rr, "rec_iters": cfg.rec_iters,
         "attack_rec_iters": (attack_rec_iters

@@ -70,6 +70,7 @@ def whitebox_key(r):
             r.get("spsa_delta"), r.get("spsa_lr"),
             r.get("spsa_rec_penalty"), r.get("spsa_rec_center"),
             r.get("spsa_objective"), r.get("spsa_margin_kappa"),
+            r.get("load_adv"), r.get("detect_passes"),
             r.get("attack_rec_iters"), r.get("eval_z0"),
             r.get("num_tests"), r.get("rec_rr"), r.get("rec_iters"))
 

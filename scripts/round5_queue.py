@@ -175,6 +175,37 @@ LEGS = [
      "argv": ["--cfg", "output/gans/mnist_fast", "--model", "A",
               "--detector", "combined", "--calib_source", "test_tail",
               "--sets", "output/advsets/flagship_conf_l300.npz"]},
+
+    # -- K-pass detection (added after the first conf legs measured):
+    # the confident+centered SPSA reduced the 2-feature detector to
+    # 22.7% joint leak (AUC 0.927) and the dispersion feature is blind
+    # to it (AUC ~0.5) — the remaining defender lever is VARIANCE: the
+    # attacker optimizes the EXPECTED statistics over keys, so
+    # averaging K independent detection passes concentrates both
+    # classes ~sqrt(K) around means the attack could only partially
+    # move. Replay the saved advsets under K=8 (per-pass features
+    # saved; offline subset-averaging gives the full K-sweep).
+    {"name": "r5_kpass_conf_l300", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/mnist_fast", "--model", "A",
+              "--attack_type", "none",
+              "--load_adv", "output/advsets/flagship_conf_l300.npz",
+              "--detect", "--detect_passes", "8",
+              "--detect_save",
+              "output/detstats/flagship_conf_l300_k8.npz"]},
+    # does K-pass also close the CW-on-digits ~5% leak (VERDICT 5)?
+    {"name": "r5_kpass_digits_cw", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/digits", "--model", "A",
+              "--attack_type", "none",
+              "--load_adv", "output/advsets/digits_cw.npz",
+              "--detect", "--detect_passes", "8",
+              "--detect_save", "output/detstats/digits_cw_k8.npz"]},
+    {"name": "r5_kpass_digits_conf", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/digits", "--model", "A",
+              "--attack_type", "none",
+              "--load_adv", "output/advsets/digits_conf_l6000.npz",
+              "--detect", "--detect_passes", "8",
+              "--detect_save",
+              "output/detstats/digits_conf_l6000_k8.npz"]},
 ]
 
 if __name__ == "__main__":

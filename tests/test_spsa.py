@@ -352,3 +352,66 @@ def test_whitebox_confident_spsa_end_to_end(tmp_path, monkeypatch):
     # restart-dispersion raw material rides along: [N, R]
     assert stats["all_losses_clean"].shape == (8, 2)
     assert stats["all_losses_adv"].shape == (8, 2)
+
+
+def test_whitebox_load_adv_and_detect_passes_validation():
+    from defensegan_tpu.cli import whitebox
+
+    with pytest.raises(SystemExit):   # load_adv needs attack_type none
+        whitebox.main(["--attack_type", "fgsm", "--load_adv", "x.npz"])
+    with pytest.raises(SystemExit):   # load_adv + save_adv is circular
+        whitebox.main(["--attack_type", "none", "--load_adv", "x.npz",
+                       "--save_adv", "y.npz"])
+    with pytest.raises(SystemExit):   # detect still needs an adversary
+        whitebox.main(["--attack_type", "none", "--detect"])
+    with pytest.raises(SystemExit):   # K shapes --detect
+        whitebox.main(["--attack_type", "fgsm", "--detect_passes", "4"])
+    with pytest.raises(SystemExit):
+        whitebox.main(["--attack_type", "fgsm", "--detect",
+                       "--detect_passes", "0"])
+
+
+@pytest.mark.slow
+def test_whitebox_replay_with_k_pass_detection(tmp_path, monkeypatch):
+    """Craft once with --save_adv, replay with --load_adv under K=3
+    detection passes: zero craft time, per-pass arrays [K, N] in the
+    detect_save npz, replay provenance in the record."""
+    monkeypatch.chdir(tmp_path)
+    import json
+    import os
+
+    from defensegan_tpu.cli import train, whitebox
+
+    cfg_yml = os.path.join(os.path.dirname(__file__), "..",
+                           "defensegan_tpu", "configs", "gans", "mnist.yml")
+    out = str(tmp_path / "run")
+    train.main(["--cfg", cfg_yml, "--output_dir", out, "--is_train",
+                "--train_iters", "10",
+                "--override", "GEN_DIM=8", "--override", "DISC_DIM=8",
+                "--override", "LATENT_DIM=16", "--override", "DISC_ITERS=1",
+                "--override", "COMPUTE_DTYPE=float32",
+                "--override", "SAMPLE_EVERY=10",
+                "--override", "SAVE_EVERY=10",
+                "--rec_rr", "2", "--rec_iters", "5", "--batch_size", "8"])
+    common = ["--cfg", out, "--defense_type", "defense_gan", "--model",
+              "E", "--num_tests", "8", "--classifier_epochs", "1",
+              "--rec_rr", "2", "--rec_iters", "5",
+              "--results_dir", str(tmp_path / "results")]
+    whitebox.main(common + [
+        "--attack_type", "fgsm", "--attack_rec_iters", "3",
+        "--save_adv", str(tmp_path / "adv.npz")])
+    rec = whitebox.main(common + [
+        "--attack_type", "none", "--load_adv", str(tmp_path / "adv.npz"),
+        "--detect", "--detect_passes", "3",
+        "--detect_save", str(tmp_path / "stats.npz")])
+    assert rec["attack"] == "fgsm_replay"
+    assert rec["detect_passes"] == 3
+    assert rec["attack_time_s"] == 0.0
+    assert rec["adv_meta"]["attack"] == "fgsm"
+    stats = np.load(tmp_path / "stats.npz", allow_pickle=False)
+    assert stats["errs_clean_pp"].shape == (3, 8)
+    assert stats["margins_adv_pp"].shape == (3, 8)
+    np.testing.assert_allclose(stats["errs_clean_pp"].mean(0),
+                               stats["errs_clean"], rtol=1e-12)
+    meta = json.loads(str(stats["meta"]))
+    assert meta["attack"] == "fgsm" and meta["detect_passes"] == 3
