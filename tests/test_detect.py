@@ -435,3 +435,48 @@ def test_dispersion_catches_centered_winner_with_sculpted_basins():
                                     (marg_a, marg_c, "low"),
                                     (d_a, d_c, "two_sided")])
     assert roc_auc(three_c, three_a) > 0.95
+
+
+def test_kpass_analysis_script_sweep(tmp_path):
+    """scripts/kpass_analysis.py: K-averaging must monotonically help on
+    data built to match its model (attacker moved the MEANS onto clean,
+    per-pass noise is what separates) and the K'=K row is deterministic."""
+    import json
+
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    import kpass_analysis
+
+    rng = np.random.default_rng(3)
+    k, n = 6, 200
+    # rec errs: adv mean sits ON clean mean (centered attack) but adv
+    # margins are shifted; per-pass noise makes K=1 weak, K=6 strong
+    ec = 0.033 + 0.004 * rng.standard_normal((k, n))
+    ea = 0.033 + 0.004 * rng.standard_normal((k, n))
+    mc = 30.0 + 8.0 * rng.standard_normal((k, n))
+    ma = 24.0 + 8.0 * rng.standard_normal((k, n))
+    npz = tmp_path / "fake_k6.npz"
+    np.savez(npz, meta=json.dumps({"dataset": "fake", "attack": "spsa",
+                                   "detect_passes": k}),
+             errs_clean=ec.mean(0), errs_adv=ea.mean(0),
+             margins_clean=mc.mean(0), margins_adv=ma.mean(0),
+             errs_clean_pp=ec, errs_adv_pp=ea,
+             margins_clean_pp=mc, margins_adv_pp=ma,
+             defended_correct_adv=rng.random(n) > 0.8)
+    out = tmp_path / "rows.jsonl"
+    kpass_analysis.main(["--npz", str(npz), "--subsets", "8",
+                         "--out", str(out)])
+    rows = [json.loads(line) for line in out.read_text().splitlines()]
+    assert [r["k"] for r in rows] == list(range(1, k + 1))
+    # margin detector: K=6 average must beat K=1 (the variance lever)
+    assert rows[-1]["margin"]["auc"] > rows[0]["margin"]["auc"] + 0.05
+    # joint leak shrinks (or stays) with K for the combined detector
+    assert (rows[-1]["combined"]["joint_undetected"]
+            <= rows[0]["combined"]["joint_undetected"] + 1e-9)
+    # K'=K is the deterministic full average: one subset, zero spread
+    assert rows[-1]["n_subsets"] == 1
+    assert rows[-1]["margin"]["auc_sd"] == 0.0
+    # npz without per-pass arrays is skipped without error
+    npz2 = tmp_path / "plain.npz"
+    np.savez(npz2, meta=json.dumps({"dataset": "fake", "attack": "cw"}),
+             errs_clean=ec.mean(0), errs_adv=ea.mean(0))
+    kpass_analysis.main(["--npz", str(npz2)])
