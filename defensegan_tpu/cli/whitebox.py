@@ -688,6 +688,22 @@ def main(argv=None):
                                         f"{args.attack_type}.png"),
                            grid=(n_show, 3))
         print(f"wrote {path} (rows: original | adversarial | purified)")
+        # per-image dumps of the same trio (reference save_images_files
+        # parity for the attack driver; train.py --rec_pngs covers the
+        # clean test-mode dumps)
+        from defensegan_tpu.utils.visualize import save_images_files
+
+        png_dir = os.path.join(args.results_dir,
+                               f"whitebox_{cfg.type}_"
+                               f"{args.attack_type}_pngs")
+        labels = np.asarray(y_test[:n_show]).tolist()
+        save_images_files(x_test[:n_show], png_dir, prefix="orig",
+                          labels=labels)
+        save_images_files(x_adv[:n_show], png_dir, prefix="adv",
+                          labels=labels)
+        save_images_files(np.asarray(res.x_hat), png_dir, prefix="purified",
+                          labels=labels)
+        print(f"wrote {3 * n_show} per-image PNGs under {png_dir}/")
 
     defended_acc = None
     defended_acc_attack_z0 = None
