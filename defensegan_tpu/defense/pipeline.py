@@ -79,17 +79,31 @@ class DefendedPipeline:
                  rec_iters: Optional[int] = None,
                  rec_lr: Optional[float] = None,
                  rec_kernel: Optional[str] = None,
-                 dispersion_kind: str = "rel_gap"):
+                 dispersion_kind: str = "rel_gap",
+                 detect_passes: int = 1):
         if detector not in ("two_sided", "one_sided", "combined",
                             "combined3"):
             raise ValueError(f"unknown detector {detector!r}")
         if not 0.0 < fpr < 1.0:
             raise ValueError(f"fpr must be in (0, 1), got {fpr}")
+        if detect_passes < 1:
+            raise ValueError(f"detect_passes must be >= 1, "
+                             f"got {detect_passes}")
         self.gan = gan
         self.logits_fn = logits_fn
         self.fpr = float(fpr)
         self.detector = detector
         self.dispersion_kind = dispersion_kind
+        # K-pass detection (round-5 variance lever): a detection-aware
+        # attacker optimizes the EXPECTED detector statistics over
+        # projection keys; averaging the features of K independent
+        # projection passes shrinks both classes' spread ~sqrt(K) around
+        # means the attack could only partially move. Costs K projection
+        # passes per input; the class prediction stays pass-0's (the
+        # configuration the offline K-sweep measures —
+        # scripts/kpass_analysis.py). detect_passes=1 reproduces the
+        # single-pass pipeline bit-for-bit.
+        self.detect_passes = int(detect_passes)
         self._rec = dict(rec_rr=rec_rr, rec_iters=rec_iters, rec_lr=rec_lr,
                          rec_kernel=rec_kernel)
         self._center: Optional[float] = None      # clean rec-err median
@@ -121,8 +135,8 @@ class DefendedPipeline:
             return np.abs(errs - self._center)
         return errs
 
-    def _run(self, x: np.ndarray, key: jax.Array,
-             batch_size: Optional[int]):
+    def _run_once(self, x: np.ndarray, key: jax.Array,
+                  batch_size: Optional[int]):
         """One shared projection pass: (preds, rec_errs, margins,
         dispersion).
 
@@ -143,6 +157,25 @@ class DefendedPipeline:
             disps.append(restart_dispersion(al, self.dispersion_kind))
         return (np.concatenate(preds), np.concatenate(errs),
                 np.concatenate(margins), np.concatenate(disps))
+
+    def _run(self, x: np.ndarray, key: jax.Array,
+             batch_size: Optional[int]):
+        """detect_passes independent projection passes; detection
+        features averaged across passes, class prediction from pass 0
+        (whose key is `key` itself, so detect_passes=1 is the historical
+        single-pass pipeline exactly)."""
+        preds, errs, margins, disps = self._run_once(x, key, batch_size)
+        if self.detect_passes == 1:
+            return preds, errs, margins, disps
+        errs_acc, marg_acc, disp_acc = [errs], [margins], [disps]
+        for p in range(1, self.detect_passes):
+            _, e, m, d = self._run_once(x, jax.random.fold_in(key, p),
+                                        batch_size)
+            errs_acc.append(e)
+            marg_acc.append(m)
+            disp_acc.append(d)
+        return (preds, np.mean(errs_acc, axis=0),
+                np.mean(marg_acc, axis=0), np.mean(disp_acc, axis=0))
 
     # ------------------------------------------------------------ public
     def calibrate(self, x_clean: np.ndarray,

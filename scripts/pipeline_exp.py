@@ -49,6 +49,10 @@ def main(argv=None):
     ap.add_argument("--detector", default="two_sided",
                     choices=["two_sided", "one_sided", "combined", "combined3"])
     ap.add_argument("--calib_n", type=int, default=256)
+    ap.add_argument("--detect_passes", type=int, default=1,
+                    help="K-pass detection: average the detector features "
+                         "over K independent projection passes (the "
+                         "round-5 variance lever; costs K passes/input)")
     ap.add_argument("--calib_source", default="test_tail",
                     choices=["test_tail", "train_tail"],
                     help="test_tail (default): clean TEST images AFTER "
@@ -96,7 +100,8 @@ def main(argv=None):
         x_calib = x_test[args.eval_slice_n:
                          args.eval_slice_n + args.calib_n]
     pipe = DefendedPipeline(gan, logits_fn, fpr=args.fpr,
-                            detector=args.detector)
+                            detector=args.detector,
+                            detect_passes=args.detect_passes)
     pipe.calibrate(x_calib, key=jax.random.key(101))
     print(f"calibrated {args.detector} detector on {len(x_calib)} clean "
           f"{args.calib_source} images @ {args.fpr:.0%} FPR "
@@ -115,6 +120,7 @@ def main(argv=None):
             "detector": args.detector, "fpr": args.fpr,
             "calib_n": int(len(x_calib)),
             "calib_source": args.calib_source, "n": int(len(y)),
+            "detect_passes": args.detect_passes,
             "rec_rr": cfg.rec_rr, "rec_iters": cfg.rec_iters,
             "flag_rate": float(out.flagged.mean()),
             "acc_all": float(correct.mean()),

@@ -61,6 +61,8 @@ def main(argv=None):
     ap.add_argument("--detector", default="two_sided",
                     choices=["two_sided", "one_sided"])
     ap.add_argument("--calib_n", type=int, default=256)
+    ap.add_argument("--detect_passes", type=int, default=1,
+                    help="K-pass detection (K projection passes/input)")
     ap.add_argument("--results_dir", default="output/results")
     args = ap.parse_args(argv)
 
@@ -104,7 +106,8 @@ def main(argv=None):
     pipe = DefendedPipeline(serve_gan, clf.logits_fn(), fpr=args.fpr,
                             detector=args.detector,
                             rec_rr=args.rec_rr, rec_iters=args.rec_iters,
-                            rec_kernel=args.kernel)
+                            rec_kernel=args.kernel,
+                            detect_passes=args.detect_passes)
     rr = args.rec_rr if args.rec_rr is not None else cfg.rec_rr
     iters = args.rec_iters if args.rec_iters is not None else cfg.rec_iters
     t0 = time.perf_counter()
@@ -135,6 +138,7 @@ def main(argv=None):
             "model": args.model, "batch": b,
             "kernel": resolved, "rec_rr": rr,
             "rec_iters": iters, "detector": args.detector,
+            "detect_passes": args.detect_passes,
             "latency_ms_min": round(min(times) * 1e3, 2),
             "latency_ms_median": round(float(np.median(times)) * 1e3, 2),
             "images_per_s": round(b / min(times), 2),

@@ -180,3 +180,45 @@ def test_pipeline_combined3_dispersion_detector():
                            dispersion_kind="nope")
     with pytest.raises(ValueError):
         bad.calibrate(x_clean, key=jax.random.key(17), batch_size=8)
+
+
+def test_pipeline_detect_passes_kpass_features():
+    """detect_passes=K: prediction stays pass-0's, detection features are
+    the K-pass average (variance shrinks), and K=1 reproduces the
+    single-pass pipeline bit-for-bit."""
+    gan = _tiny_gan()
+    x_cal = np.asarray(gan.generate(jax.random.key(10), 16))
+    x = np.asarray(jax.random.uniform(jax.random.key(11), (8, 28, 28, 1)))
+
+    with pytest.raises(ValueError):
+        DefendedPipeline(gan, _logits_fn, detect_passes=0)
+
+    k_cal, k_pred = jax.random.key(12), jax.random.key(13)
+    p1 = DefendedPipeline(gan, _logits_fn, fpr=0.25).calibrate(
+        x_cal, key=k_cal, batch_size=8)
+    p3 = DefendedPipeline(gan, _logits_fn, fpr=0.25,
+                          detect_passes=3).calibrate(
+        x_cal, key=k_cal, batch_size=8)
+    o1 = p1.predict(x, key=k_pred, batch_size=8)
+    o3 = p3.predict(x, key=k_pred, batch_size=8)
+    # pass 0 shares p1's key => identical predictions
+    np.testing.assert_array_equal(o1.pred, o3.pred)
+    # averaged features differ from the single pass (independent keys)
+    assert not np.allclose(o1.rec_err, o3.rec_err)
+    assert np.isfinite(o3.rec_err).all() and np.isfinite(o3.margin).all()
+    # K=1 explicit == default single pass, bit-for-bit
+    p1b = DefendedPipeline(gan, _logits_fn, fpr=0.25,
+                           detect_passes=1).calibrate(
+        x_cal, key=k_cal, batch_size=8)
+    o1b = p1b.predict(x, key=k_pred, batch_size=8)
+    np.testing.assert_array_equal(o1.rec_err, o1b.rec_err)
+    np.testing.assert_array_equal(o1.flagged, o1b.flagged)
+
+    # variance claim: across repeated predicts with different keys, the
+    # K-pass rec_err varies LESS than the single-pass one
+    def spread(pipe):
+        runs = [pipe.predict(x, key=jax.random.key(100 + i),
+                             batch_size=8).rec_err for i in range(4)]
+        return np.stack(runs).std(axis=0).mean()
+
+    assert spread(p3) < spread(p1)
