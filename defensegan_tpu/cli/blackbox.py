@@ -199,10 +199,11 @@ def main(argv=None):
             # margins come from the TARGET classifier — the defender's
             # own model, exactly what a deployed detector can see.
             k_det = jax.random.fold_in(k_eval, 555)
-            errs_clean, marg_clean, alll_clean = detection_features(
-                gan, x_eval, bb_logits, key=k_det)
-            errs_adv, marg_adv, alll_adv = detection_features(
-                gan, x_adv, bb_logits, key=k_det)
+            feats_clean = detection_features(gan, x_eval, bb_logits,
+                                             key=k_det)
+            feats_adv = detection_features(gan, x_adv, bb_logits, key=k_det)
+            errs_clean, marg_clean = feats_clean.errs, feats_clean.margins
+            errs_adv, marg_adv = feats_adv.errs, feats_adv.margins
         detection_auc = roc_auc(errs_clean, errs_adv)
         detection_tpr_fpr05, _ = tpr_at_fpr(errs_clean, errs_adv, 0.05)
         rec_err_clean = float(errs_clean.mean())
@@ -242,7 +243,8 @@ def main(argv=None):
             np.savez(args.detect_save,
                      errs_clean=errs_clean, errs_adv=errs_adv,
                      margins_clean=marg_clean, margins_adv=marg_adv,
-                     all_losses_clean=alll_clean, all_losses_adv=alll_adv,
+                     all_losses_clean=feats_clean.all_losses,
+                     all_losses_adv=feats_adv.all_losses,
                      defended_correct_adv=np.asarray(defended_correct_adv,
                                                      bool),
                      meta=json.dumps(meta))

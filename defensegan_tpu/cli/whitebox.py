@@ -789,6 +789,8 @@ def main(argv=None):
             errs_adv_pp = np.stack([f.errs for f in passes_a])
             marg_clean_pp = np.stack([f.margins for f in passes_c])
             marg_adv_pp = np.stack([f.margins for f in passes_a])
+            preds_clean_pp = np.stack([f.preds for f in passes_c])
+            preds_adv_pp = np.stack([f.preds for f in passes_a])
             errs_clean = errs_clean_pp.mean(0)
             errs_adv = errs_adv_pp.mean(0)
             marg_clean = marg_clean_pp.mean(0)
@@ -880,14 +882,20 @@ def main(argv=None):
             arrays = {"errs_clean": errs_clean, "errs_adv": errs_adv,
                       "margins_clean": marg_clean, "margins_adv": marg_adv,
                       "all_losses_clean": alll_clean,
-                      "all_losses_adv": alll_adv}
+                      "all_losses_adv": alll_adv,
+                      "y": np.asarray(y_test, np.int32)}
             if args.detect_passes > 1:
                 # per-pass features [K, N]: any K' <= K detector is a
-                # subset-average away (offline K-sweeps, no chip)
+                # subset-average away (offline K-sweeps, no chip). The
+                # per-pass purified PREDICTIONS enable the other use of
+                # K passes: majority-vote prediction + vote-disagreement
+                # detection (kpass_analysis.py --vote).
                 arrays.update(errs_clean_pp=errs_clean_pp,
                               errs_adv_pp=errs_adv_pp,
                               margins_clean_pp=marg_clean_pp,
-                              margins_adv_pp=marg_adv_pp)
+                              margins_adv_pp=marg_adv_pp,
+                              preds_clean_pp=preds_clean_pp,
+                              preds_adv_pp=preds_adv_pp)
             if defended_correct_adv is not None:
                 arrays["defended_correct_adv"] = np.asarray(
                     defended_correct_adv, bool)

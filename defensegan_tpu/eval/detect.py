@@ -33,9 +33,11 @@ def _margin_fn(logits_fn):
     if fn is None:
         @jax.jit
         def fn(x_hat):
+            import jax.numpy as jnp
+
             logits = logits_fn(x_hat)
             top2 = jax.lax.top_k(logits, 2)[0]
-            return top2[:, 0] - top2[:, 1]
+            return jnp.argmax(logits, axis=-1), top2[:, 0] - top2[:, 1]
 
         _MARGIN_CACHE[id(logits_fn)] = fn
     return fn
@@ -51,11 +53,16 @@ class DetectionFeatures(NamedTuple):
                 an attacker tuning the input against the projection's
                 expected behavior may skew how the R independent basins
                 score it). Saved by --detect_save for offline analysis.
+    preds:      [N] purified classifier argmax on G(z*) — per-pass
+                predictions enable K-pass majority voting and the vote-
+                disagreement detection feature (scripts/kpass_analysis.py
+                --vote analyzes both offline from the saved *_pp arrays).
     """
 
     errs: np.ndarray
     margins: np.ndarray
     all_losses: np.ndarray
+    preds: np.ndarray
 
 
 def reconstruction_errors(gan, x: np.ndarray,
@@ -118,7 +125,7 @@ def detection_features(gan, x: np.ndarray,
 
     _margin = _margin_fn(logits_fn)
 
-    errs, margins, alll = [], [], []
+    errs, margins, alll, preds = [], [], [], []
     for res, lo, hi in batched_reconstruct(gan, x, key=key,
                                            batch_size=batch_size,
                                            rec_rr=rec_rr,
@@ -126,12 +133,13 @@ def detection_features(gan, x: np.ndarray,
                                            rec_lr=rec_lr,
                                            rec_kernel=rec_kernel,
                                            key_fn=key_fn):
+        pb, mb = _margin(jnp.asarray(res.x_hat))
         errs.append(np.asarray(res.loss, np.float64)[:hi - lo])
-        margins.append(np.asarray(_margin(jnp.asarray(res.x_hat)),
-                                  np.float64)[:hi - lo])
+        margins.append(np.asarray(mb, np.float64)[:hi - lo])
         alll.append(np.asarray(res.all_losses, np.float64)[:hi - lo])
+        preds.append(np.asarray(pb, np.int32)[:hi - lo])
     return DetectionFeatures(np.concatenate(errs), np.concatenate(margins),
-                             np.concatenate(alll))
+                             np.concatenate(alll), np.concatenate(preds))
 
 
 def ecdf_atypicality(vals: np.ndarray, calib: np.ndarray,

@@ -59,6 +59,101 @@ def _detectors(ec, ea, mc, ma):
     }
 
 
+def _majority_vote(P):
+    """Majority vote over the pass axis. P: [k, N] int predictions.
+
+    Returns (vote [N], disagreement [N]) where disagreement = 1 -
+    top-vote share (0 when all k passes agree). Ties break toward the
+    FIRST pass in the subset — so K=1 voting reproduces the single-pass
+    prediction exactly, and a k-pass deployment's tie fallback is its
+    pass-0 answer.
+    """
+    k, n = P.shape
+    n_cls = int(P.max()) + 1
+    counts = np.zeros((n, n_cls), np.int64)
+    for row in P:
+        counts[np.arange(n), row] += 1
+    top = counts.max(axis=1)
+    maj = counts.argmax(axis=1)
+    tie_with_first = counts[np.arange(n), P[0]] == top
+    maj = np.where(tie_with_first, P[0], maj)
+    return maj.astype(np.int64), 1.0 - top / float(k)
+
+
+def analyze_vote(path, fpr, n_subsets, out):
+    """K-pass VOTE analysis: the other use of K projection passes.
+
+    Feature averaging (the default analysis) null-resulted in round 5 —
+    the tailored attacks sit inside the clean feature distribution in
+    expectation. Voting asks a different question: is the attack's
+    SUCCESS stable across projection keys? Per K' it reports the
+    majority-vote defended accuracy (vs the saved single-pass
+    defended_correct_adv baseline), the vote-disagreement detection AUC,
+    and the joint undetected rate when disagreement joins the 2-feature
+    max (success = majority vote wrong).
+    """
+    data = np.load(path, allow_pickle=False)
+    meta = json.loads(str(data["meta"]))
+    need = ("preds_clean_pp", "preds_adv_pp", "y")
+    if any(k not in data for k in need):
+        print(f"== {os.path.basename(path)}: no per-pass predictions "
+              "(re-run the replay with --detect_passes K>1 after round-5's "
+              "preds_pp addition); skipping vote analysis")
+        return
+    pc_pp, pa_pp, y = data["preds_clean_pp"], data["preds_adv_pp"], data["y"]
+    ec_pp, ea_pp = data["errs_clean_pp"], data["errs_adv_pp"]
+    mc_pp, ma_pp = data["margins_clean_pp"], data["margins_adv_pp"]
+    k_total = pc_pp.shape[0]
+    label = f"{meta.get('dataset')}/{meta.get('attack')}"
+    base = None
+    if "defended_correct_adv" in data:
+        base = data["defended_correct_adv"].astype(bool).mean()
+    print(f"== VOTE {label}  ({os.path.basename(path)})  K={k_total}, "
+          f"N={pc_pp.shape[1]}"
+          + ("" if base is None
+             else f", single-pass defended acc {base:.3f}"))
+    rng = np.random.default_rng(0)
+    for k in range(1, k_total + 1):
+        subs = _subsets(k_total, k, n_subsets, rng)
+        accs, aucs, joints, joints_2f = [], [], [], []
+        for idx in subs:
+            vote_c, dis_c = _majority_vote(pc_pp[idx])
+            vote_a, dis_a = _majority_vote(pa_pp[idx])
+            accs.append((vote_a == y).mean())
+            wrong = vote_a != y
+            # disagreement alone (high side: adv flips more across keys)
+            sc = ecdf_atypicality(dis_c, dis_c, "high")
+            sa = ecdf_atypicality(dis_a, dis_c, "high")
+            aucs.append(roc_auc(sc, sa))
+            joint, _ = undetected_success_rate(sc, sa, wrong, max_fpr=fpr)
+            joints.append(joint)
+            # disagreement joined into the 2-feature max (K'-averaged
+            # features + the vote-wrong success definition)
+            ec, mc = ec_pp[idx].mean(0), mc_pp[idx].mean(0)
+            ea, ma = ea_pp[idx].mean(0), ma_pp[idx].mean(0)
+            sc3 = np.maximum(combined_scores(ec, mc, ec, mc), sc)
+            sa3 = np.maximum(combined_scores(ea, ma, ec, mc), sa)
+            joint3, _ = undetected_success_rate(sc3, sa3, wrong,
+                                                max_fpr=fpr)
+            joints_2f.append(joint3)
+        row = {"npz": os.path.basename(path), "label": label, "k": k,
+               "n_subsets": len(subs), "fpr": fpr, "analysis": "vote",
+               "vote_defended_acc": float(np.mean(accs)),
+               "vote_defended_acc_sd": float(np.std(accs)),
+               "disagree_auc": float(np.mean(aucs)),
+               "joint_undetected_disagree": float(np.mean(joints)),
+               "joint_undetected_2f_plus_disagree":
+                   float(np.mean(joints_2f)),
+               "joint_sd": float(np.std(joints_2f))}
+        print(f"  K={k} ({len(subs):2d} subsets): vote acc "
+              f"{np.mean(accs):.3f}±{np.std(accs):.3f}  |  disagree AUC "
+              f"{np.mean(aucs):.3f} joint {np.mean(joints):.3f}  |  "
+              f"2f+disagree joint {np.mean(joints_2f):.3f}"
+              f"±{np.std(joints_2f):.3f}")
+        if out:
+            append_jsonl(out, row)
+
+
 def _subsets(k_total, k_sub, n_max, rng):
     """Up to n_max distinct index subsets of size k_sub from range(k_total)."""
     from math import comb
@@ -141,11 +236,17 @@ def main(argv=None):
                          "C(K,K') is smaller)")
     ap.add_argument("--out", default=None,
                     help="append per-(npz,K) JSONL rows here")
+    ap.add_argument("--vote", action="store_true",
+                    help="also run the K-pass VOTE analysis (majority-"
+                         "vote accuracy + vote-disagreement detection; "
+                         "needs preds_*_pp arrays in the npz)")
     args = ap.parse_args(argv)
     if args.out:
         ensure_dir(os.path.dirname(args.out) or ".")
     for path in args.npz:
         analyze(path, args.fpr, args.subsets, args.out)
+        if args.vote:
+            analyze_vote(path, args.fpr, args.subsets, args.out)
         print()
 
 

@@ -21,6 +21,16 @@ drawn from the distribution the detector actually serves; the realized-
 FPR noise at that size is quantified by eval/detect.py::calibration_sweep
 and scripts/calibration_analysis.py).
 
+Round-5 addendum: test_tail at digits' calib_n=41 measured a 26.6%
+clean flag rate — consistent with the simulated small-n distribution
+(random-41 calibration on the saved clean features: 7.6% +/- 4.9%,
+max 28.8%) compounded by sklearn-digits' writer-ordering structure
+(calibrating on the FIRST 41 of the eval head flags 24.7% of the rest).
+--calib_source dev calibrates on the dev split instead (digits: 200
+images, held out from GAN + classifier training AND from the attack
+eval) — large enough that the simulated rate lands on target
+(n=200: 5.3% +/- 3.3%). Use dev when the test tail is this small.
+
 Usage:
   python scripts/pipeline_exp.py --cfg output/gans/digits --model A \
       --sets output/advsets/digits_fgsm.npz [more.npz ...] \
@@ -54,10 +64,13 @@ def main(argv=None):
                          "over K independent projection passes (the "
                          "round-5 variance lever; costs K passes/input)")
     ap.add_argument("--calib_source", default="test_tail",
-                    choices=["test_tail", "train_tail"],
+                    choices=["test_tail", "train_tail", "dev"],
                     help="test_tail (default): clean TEST images AFTER "
                     "the attack-eval slice (serving-distribution "
                     "calibration; capped by what the test set has left); "
+                    "dev: the dev split (held out from training AND the "
+                    "eval slice — the right source when the test tail is "
+                    "tiny, e.g. digits' 41); "
                     "train_tail: the round-4 protocol (optimistic margins "
                     "— kept for comparison rows)")
     ap.add_argument("--eval_slice_n", type=int, default=256,
@@ -89,6 +102,9 @@ def main(argv=None):
     if args.calib_source == "train_tail":
         x_train, _ = ds.load("train")
         x_calib = x_train[-args.calib_n:]
+    elif args.calib_source == "dev":
+        x_dev, _ = ds.load("dev")
+        x_calib = x_dev[:args.calib_n]
     else:
         x_test, _ = ds.load("test")
         if len(x_test) <= args.eval_slice_n:

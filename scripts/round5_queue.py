@@ -206,6 +206,30 @@ LEGS = [
               "--detect", "--detect_passes", "8",
               "--detect_save",
               "output/detstats/digits_conf_l6000_k8.npz"]},
+
+    # -- dev-split calibration (added after the test_tail legs measured):
+    # digits' test tail is 41 images and the measured clean flag rate was
+    # 26.6% at a 5% target — consistent with simulated small-n noise
+    # (random-41: 7.6%±4.9%, max 28.8%) compounded by sklearn-digits'
+    # writer-ordering structure. The dev split gives 200 held-out images
+    # (simulated n=200 rate: 5.3%±3.3%). These legs measure the dev-
+    # calibrated serving numbers for the full digits attack matrix.
+    {"name": "r5_pipe_digits_comb_devcal", "run": "script",
+     "path": "scripts/pipeline_exp.py",
+     "argv": ["--cfg", "output/gans/digits", "--model", "A",
+              "--detector", "combined", "--calib_source", "dev",
+              "--sets",
+              "output/advsets/digits_cw.npz",
+              "output/advsets/digits_conf_l6000.npz",
+              "output/advsets/digits_fgsm.npz",
+              "output/advsets/digits_pgd.npz",
+              "output/advsets/digits_pgd_cen.npz"]},
+    {"name": "r5_pipe_digits_2s_devcal", "run": "script",
+     "path": "scripts/pipeline_exp.py",
+     "argv": ["--cfg", "output/gans/digits", "--model", "A",
+              "--detector", "two_sided", "--calib_source", "dev",
+              "--sets", "output/advsets/digits_cw.npz",
+              "output/advsets/digits_conf_l6000.npz"]},
 ]
 
 if __name__ == "__main__":

@@ -315,15 +315,19 @@ def test_detection_features_matches_reconstruction_errors():
 
     errs_ref = reconstruction_errors(gan, x, key=jax.random.key(22),
                                      batch_size=4)
-    errs, margins, all_losses = detection_features(gan, x, logits_fn,
-                                                   key=jax.random.key(22),
-                                                   batch_size=4)
+    feats = detection_features(gan, x, logits_fn, key=jax.random.key(22),
+                               batch_size=4)
+    errs, margins, all_losses = feats.errs, feats.margins, feats.all_losses
     np.testing.assert_array_equal(errs, errs_ref)
     assert errs.shape == margins.shape == (6,)
     assert (margins >= 0).all()  # top1 - top2 is nonnegative
     # per-restart losses ride along: [N, R], best restart == errs
     assert all_losses.shape == (6, 2)
     np.testing.assert_allclose(all_losses.min(axis=1), errs, rtol=1e-6)
+    # purified predictions ride along too (K-pass vote raw material):
+    # argmax of the purified logits, consistent with a nonneg margin
+    assert feats.preds.shape == (6,) and feats.preds.dtype == np.int32
+    assert set(np.unique(feats.preds)) <= {0, 1, 2}
 
 
 def test_calibration_sweep_combined_detector():
@@ -480,3 +484,60 @@ def test_kpass_analysis_script_sweep(tmp_path):
     np.savez(npz2, meta=json.dumps({"dataset": "fake", "attack": "cw"}),
              errs_clean=ec.mean(0), errs_adv=ea.mean(0))
     kpass_analysis.main(["--npz", str(npz2)])
+
+
+def test_kpass_analysis_vote(tmp_path):
+    """--vote: majority voting must lift defended accuracy on data built
+    so adversarial successes FLIP across keys (wrong with prob 0.45 per
+    pass, independently) while clean predictions are stable; vote
+    disagreement must separate adv from clean; K=1 voting reproduces
+    the single-pass accuracy; ties break toward the subset's first pass."""
+    import json
+
+    sys.path.insert(0, os.path.join(ROOT, "scripts"))
+    import kpass_analysis
+
+    # tie-break unit check: 2 passes disagree -> vote follows pass 0
+    P = np.array([[1, 2], [0, 1]])
+    vote, dis = kpass_analysis._majority_vote(P)
+    np.testing.assert_array_equal(vote, [1, 2])
+    np.testing.assert_allclose(dis, [0.5, 0.5])
+
+    rng = np.random.default_rng(7)
+    k, n = 8, 240
+    y = rng.integers(0, 10, n).astype(np.int32)
+    # clean: always right. adv: per-pass wrong with prob 0.45 (unstable
+    # success) -> majority vote mostly recovers the true class
+    pc = np.tile(y, (k, 1))
+    flip = rng.random((k, n)) < 0.45
+    pa = np.where(flip, (y + 1) % 10, y)
+    ec = 0.033 + 0.004 * rng.standard_normal((k, n))
+    ea = 0.033 + 0.004 * rng.standard_normal((k, n))
+    mc = 30.0 + 8.0 * rng.standard_normal((k, n))
+    ma = 30.0 + 8.0 * rng.standard_normal((k, n))
+    npz = tmp_path / "fake_vote_k8.npz"
+    np.savez(npz, meta=json.dumps({"dataset": "fake", "attack": "spsa",
+                                   "detect_passes": k}),
+             errs_clean=ec.mean(0), errs_adv=ea.mean(0),
+             margins_clean=mc.mean(0), margins_adv=ma.mean(0),
+             errs_clean_pp=ec, errs_adv_pp=ea,
+             margins_clean_pp=mc, margins_adv_pp=ma,
+             preds_clean_pp=pc, preds_adv_pp=pa, y=y,
+             defended_correct_adv=(pa[0] == y))
+    out = tmp_path / "vote_rows.jsonl"
+    kpass_analysis.analyze_vote(str(npz), 0.05, 8, str(out))
+    rows = [json.loads(line) for line in out.read_text().splitlines()]
+    assert [r["k"] for r in rows] == list(range(1, k + 1))
+    # K=1 vote accuracy == single-pass accuracy in expectation (~0.55)
+    assert abs(rows[0]["vote_defended_acc"] - 0.55) < 0.1
+    # K=8 majority vote recovers flips: P(wrong) = P(X>=5) +
+    # 0.45*P(X=4 tie->pass0), X~Bin(8,0.45) -> acc ~0.62 vs 0.55 at K=1
+    assert rows[-1]["vote_defended_acc"] > rows[0]["vote_defended_acc"] + 0.05
+    # disagreement separates: clean never disagrees, adv flips
+    assert rows[-1]["disagree_auc"] > 0.9
+    # npz without preds is skipped without error
+    npz2 = tmp_path / "nopreds.npz"
+    np.savez(npz2, meta=json.dumps({"dataset": "fake", "attack": "cw"}),
+             errs_clean_pp=ec, errs_adv_pp=ea,
+             margins_clean_pp=mc, margins_adv_pp=ma)
+    kpass_analysis.analyze_vote(str(npz2), 0.05, 8, None)
