@@ -230,6 +230,33 @@ LEGS = [
               "--detector", "two_sided", "--calib_source", "dev",
               "--sets", "output/advsets/digits_cw.npz",
               "output/advsets/digits_conf_l6000.npz"]},
+
+    # -- K-pass VOTE replays (added after feature-averaging null-resulted):
+    # the same K=8 replays, re-run after DetectionFeatures gained purified
+    # predictions — the saved preds_*_pp arrays feed kpass_analysis --vote
+    # (majority-vote defended accuracy + vote-disagreement detection), the
+    # question feature averaging can't answer: is the attack's SUCCESS
+    # stable across projection keys?
+    {"name": "r5_vote_conf_l300", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/mnist_fast", "--model", "A",
+              "--attack_type", "none",
+              "--load_adv", "output/advsets/flagship_conf_l300.npz",
+              "--detect", "--detect_passes", "8",
+              "--detect_save",
+              "output/detstats/flagship_conf_l300_k8.npz"]},
+    {"name": "r5_vote_digits_cw", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/digits", "--model", "A",
+              "--attack_type", "none",
+              "--load_adv", "output/advsets/digits_cw.npz",
+              "--detect", "--detect_passes", "8",
+              "--detect_save", "output/detstats/digits_cw_k8.npz"]},
+    {"name": "r5_vote_digits_conf", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/digits", "--model", "A",
+              "--attack_type", "none",
+              "--load_adv", "output/advsets/digits_conf_l6000.npz",
+              "--detect", "--detect_passes", "8",
+              "--detect_save",
+              "output/detstats/digits_conf_l6000_k8.npz"]},
 ]
 
 if __name__ == "__main__":
