@@ -80,7 +80,8 @@ class DefendedPipeline:
                  rec_lr: Optional[float] = None,
                  rec_kernel: Optional[str] = None,
                  dispersion_kind: str = "rel_gap",
-                 detect_passes: int = 1):
+                 detect_passes: int = 1,
+                 vote: bool = False):
         if detector not in ("two_sided", "one_sided", "combined",
                             "combined3"):
             raise ValueError(f"unknown detector {detector!r}")
@@ -89,6 +90,9 @@ class DefendedPipeline:
         if detect_passes < 1:
             raise ValueError(f"detect_passes must be >= 1, "
                              f"got {detect_passes}")
+        if vote and detect_passes < 2:
+            raise ValueError("vote=True needs detect_passes >= 2 "
+                             "(majority voting over K projection passes)")
         self.gan = gan
         self.logits_fn = logits_fn
         self.fpr = float(fpr)
@@ -104,6 +108,14 @@ class DefendedPipeline:
         # scripts/kpass_analysis.py). detect_passes=1 reproduces the
         # single-pass pipeline bit-for-bit.
         self.detect_passes = int(detect_passes)
+        # vote=True: class prediction = majority vote of the K passes'
+        # purified argmaxes (ties -> pass 0), instead of pass-0 alone.
+        # Measured (RESULTS.md round-5 vote analysis): recovers ~21% of
+        # CW-on-digits' residual errors (defended acc 0.836 -> 0.871 at
+        # K=8) because CW successes are partly key-UNstable; a no-op
+        # against the key-stable tailored-SPSA attacks. Opt-in because
+        # the accuracy win is attack-dependent and K passes cost Kx.
+        self.vote = bool(vote)
         self._rec = dict(rec_rr=rec_rr, rec_iters=rec_iters, rec_lr=rec_lr,
                          rec_kernel=rec_kernel)
         self._center: Optional[float] = None      # clean rec-err median
@@ -163,17 +175,23 @@ class DefendedPipeline:
         """detect_passes independent projection passes; detection
         features averaged across passes, class prediction from pass 0
         (whose key is `key` itself, so detect_passes=1 is the historical
-        single-pass pipeline exactly)."""
+        single-pass pipeline exactly) — or the K-pass majority vote when
+        vote=True (ties break toward pass 0)."""
         preds, errs, margins, disps = self._run_once(x, key, batch_size)
         if self.detect_passes == 1:
             return preds, errs, margins, disps
+        preds_acc = [preds]
         errs_acc, marg_acc, disp_acc = [errs], [margins], [disps]
         for p in range(1, self.detect_passes):
-            _, e, m, d = self._run_once(x, jax.random.fold_in(key, p),
-                                        batch_size)
+            pp, e, m, d = self._run_once(x, jax.random.fold_in(key, p),
+                                         batch_size)
+            preds_acc.append(pp)
             errs_acc.append(e)
             marg_acc.append(m)
             disp_acc.append(d)
+        if self.vote:
+            from defensegan_tpu.eval.detect import majority_vote
+            preds, _ = majority_vote(np.stack(preds_acc))
         return (preds, np.mean(errs_acc, axis=0),
                 np.mean(marg_acc, axis=0), np.mean(disp_acc, axis=0))
 

@@ -168,6 +168,31 @@ def ecdf_atypicality(vals: np.ndarray, calib: np.ndarray,
     return 1.0 - u if side == "low" else u
 
 
+def majority_vote(preds_pp: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Majority vote over the pass axis. preds_pp: [K, N] int predictions.
+
+    Returns (vote [N], disagreement [N]); disagreement = 1 - top-vote
+    share (0 when all K passes agree). Ties break toward pass 0, so
+    K=1 voting reproduces the single-pass prediction exactly and a
+    K-pass deployment's tie fallback is its pass-0 answer. Measured use
+    (RESULTS.md round-5): recovers key-UNstable attack successes (CW);
+    a no-op against key-stable tailored SPSA.
+    """
+    P = np.asarray(preds_pp)
+    if P.ndim != 2:
+        raise ValueError(f"preds_pp must be [K, N], got {P.shape}")
+    k, n = P.shape
+    n_cls = int(P.max()) + 1 if P.size else 1
+    counts = np.zeros((n, n_cls), np.int64)
+    for row in P:
+        counts[np.arange(n), row] += 1
+    top = counts.max(axis=1)
+    maj = counts.argmax(axis=1)
+    tie_with_first = counts[np.arange(n), P[0]] == top
+    maj = np.where(tie_with_first, P[0], maj)
+    return maj.astype(P.dtype), 1.0 - top / float(k)
+
+
 def multi_feature_scores(features) -> np.ndarray:
     """N-feature detection statistic: max of per-feature atypicality.
 

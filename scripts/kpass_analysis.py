@@ -59,25 +59,9 @@ def _detectors(ec, ea, mc, ma):
     }
 
 
-def _majority_vote(P):
-    """Majority vote over the pass axis. P: [k, N] int predictions.
-
-    Returns (vote [N], disagreement [N]) where disagreement = 1 -
-    top-vote share (0 when all k passes agree). Ties break toward the
-    FIRST pass in the subset — so K=1 voting reproduces the single-pass
-    prediction exactly, and a k-pass deployment's tie fallback is its
-    pass-0 answer.
-    """
-    k, n = P.shape
-    n_cls = int(P.max()) + 1
-    counts = np.zeros((n, n_cls), np.int64)
-    for row in P:
-        counts[np.arange(n), row] += 1
-    top = counts.max(axis=1)
-    maj = counts.argmax(axis=1)
-    tie_with_first = counts[np.arange(n), P[0]] == top
-    maj = np.where(tie_with_first, P[0], maj)
-    return maj.astype(np.int64), 1.0 - top / float(k)
+# majority vote lives in eval/detect.py (shared with DefendedPipeline's
+# vote=True serving mode); re-exported here for the offline analysis
+from defensegan_tpu.eval.detect import majority_vote as _majority_vote  # noqa: E402
 
 
 def analyze_vote(path, fpr, n_subsets, out):

@@ -222,3 +222,37 @@ def test_pipeline_detect_passes_kpass_features():
         return np.stack(runs).std(axis=0).mean()
 
     assert spread(p3) < spread(p1)
+
+
+def test_pipeline_vote():
+    """vote=True: prediction is the K-pass majority (ties -> pass 0);
+    detection features stay the K-pass average; vote without K>=2 passes
+    is rejected at construction."""
+    gan = _tiny_gan()
+    x_cal = np.asarray(gan.generate(jax.random.key(20), 16))
+    x = np.asarray(jax.random.uniform(jax.random.key(21), (8, 28, 28, 1)))
+
+    with pytest.raises(ValueError):
+        DefendedPipeline(gan, _logits_fn, vote=True)  # needs K >= 2
+
+    k_cal, k_pred = jax.random.key(22), jax.random.key(23)
+    p3 = DefendedPipeline(gan, _logits_fn, fpr=0.25,
+                          detect_passes=3).calibrate(
+        x_cal, key=k_cal, batch_size=8)
+    v3 = DefendedPipeline(gan, _logits_fn, fpr=0.25, detect_passes=3,
+                          vote=True).calibrate(x_cal, key=k_cal,
+                                               batch_size=8)
+    o3 = p3.predict(x, key=k_pred, batch_size=8)
+    ov = v3.predict(x, key=k_pred, batch_size=8)
+    # same passes, same averaged features and flags — only pred may move
+    np.testing.assert_array_equal(o3.rec_err, ov.rec_err)
+    np.testing.assert_array_equal(o3.flagged, ov.flagged)
+    # the vote equals majority_vote over the per-pass predictions,
+    # reconstructed here from the same keys the pipeline derives
+    from defensegan_tpu.eval.detect import majority_vote
+    preds_pp = []
+    for p in range(3):
+        kp = k_pred if p == 0 else jax.random.fold_in(k_pred, p)
+        preds_pp.append(p3._run_once(x, kp, 8)[0])
+    expect, _ = majority_vote(np.stack(preds_pp))
+    np.testing.assert_array_equal(ov.pred, expect)
