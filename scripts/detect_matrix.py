@@ -157,14 +157,21 @@ def render(results_dir, datasets=()):
         lines += [
             "## Serving pipeline (calibrated DefendedPipeline)",
             "",
-            "| target | set | flag rate | acc (all) | acc (unflagged) | "
-            "undet. succ |",
-            "|---|---|---|---|---|---|",
+            "| target | set | detector | calib | K/vote | flag rate | "
+            "acc (all) | acc (unflagged) | undet. succ |",
+            "|---|---|---|---|---|---|---|---|---|",
         ]
         for r in sorted(pl, key=lambda r: (str(r.get("dataset")),
-                                           str(r.get("set")))):
+                                           str(r.get("set")),
+                                           str(r.get("detector")),
+                                           str(r.get("calib_source")))):
+            k = r.get("detect_passes", 1) or 1
+            kv = f"{k}" + ("+vote" if r.get("vote") else "")
+            calib = (f"{r.get('calib_source', 'train_tail')}"
+                     f"({r.get('calib_n', '?')})")
             lines.append(
                 f"| {r.get('dataset')} | {r.get('set')} | "
+                f"{r.get('detector')} | {calib} | {kv} | "
                 f"{_fmt(r.get('flag_rate'))} | {_fmt(r.get('acc_all'))} | "
                 f"{_fmt(r.get('acc_unflagged'))} | "
                 f"{_fmt(r.get('undetected_success_rate'))} |")
