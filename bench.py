@@ -20,7 +20,12 @@ Emission contract (round-5 redesign; driver parses the LAST stdout line):
     when time runs out is the best measurement that fit the budget.
   - If the worker dies before printing anything (backend outage), the
     supervisor retries while deadline budget remains, then emits a
-    parseable diagnostic record (value 0.0) — rc stays 0.
+    parseable diagnostic record (value 0.0) — rc stays 0. The diagnostic
+    carries the worker's last stderr progress line ("last_progress"), so
+    a silent kill names its stage — e.g. a worker stuck in the exclusive
+    axon session claim because another process held the chip (measured
+    round 5: a concurrent run zeroed a fresh bench exactly this way; the
+    chip-free rerun landed the full record in 315 s).
 
 Two configs are measured in ONE record (VERDICT round-2 item 2):
   - headline: configs/gans/mnist_fast.yml — the TPU-first flagship
@@ -176,7 +181,21 @@ def run_worker(args):
 
     enable_compilation_cache()
 
+    # Claim the backend EXPLICITLY with stage prints around it: the claim
+    # blocks for minutes when another process holds the chip (the axon
+    # session is exclusive), and round 5 measured exactly that failure —
+    # a 480 s worker kill with no output. With these lines the
+    # supervisor's diagnostic record names the stuck stage.
     deadline = (time.monotonic() + args.deadline) if args.deadline else None
+
+    print("worker: claiming backend (blocks if another process holds "
+          "the TPU)...", file=sys.stderr, flush=True)
+    t0 = time.monotonic()
+    import jax
+    n_dev = len(jax.devices())
+    print(f"worker: backend {jax.default_backend()} ({n_dev} device(s)) "
+          f"claimed in {time.monotonic() - t0:.0f}s",
+          file=sys.stderr, flush=True)
 
     def remaining():
         return float("inf") if deadline is None else deadline - time.monotonic()
@@ -295,6 +314,9 @@ def supervise(args, argv):
         return deadline - time.monotonic()
 
     last_record = None
+    last_progress = [None]  # worker's last stderr line: names the stage a
+    # dead-silent worker was stuck in (e.g. the exclusive-session backend
+    # claim under chip contention — round 5's measured 0.0 failure mode)
     attempts = 0
     while attempts == 0 or remaining() > 5.0:
         attempts += 1
@@ -302,7 +324,8 @@ def supervise(args, argv):
         cmd = [sys.executable, os.path.abspath(__file__), "--_worker",
                "--deadline", f"{max(budget - 10.0, 5.0):.0f}"] + argv
         t0 = time.monotonic()
-        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True,
+        proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                stderr=subprocess.PIPE, text=True,
                                 bufsize=1)
 
         def _watchdog():
@@ -312,8 +335,17 @@ def supervise(args, argv):
                     return
                 time.sleep(1.0)
 
+        def _tee_stderr():
+            for eline in proc.stderr:
+                s = eline.rstrip()
+                if s:
+                    last_progress[0] = s
+                print(eline, end="", file=sys.stderr)
+
         wd = threading.Thread(target=_watchdog, daemon=True)
         wd.start()
+        tee = threading.Thread(target=_tee_stderr, daemon=True)
+        tee.start()
         for line in proc.stdout:
             line = line.strip()
             if not line:
@@ -326,6 +358,7 @@ def supervise(args, argv):
             last_record = rec
             print(line, flush=True)
         rc = proc.wait()
+        tee.join(timeout=2.0)  # drain the final stderr lines
         killed = rc in (-9, -15)
         if last_record is not None:
             return 0
@@ -348,6 +381,7 @@ def supervise(args, argv):
             "value": 0.0, "unit": "recon/s", "vs_baseline": 0.0,
             "error": (f"no measurement within the {args.deadline:.0f}s "
                       f"deadline ({attempts} worker attempts)"),
+            "last_progress": last_progress[0],
         }), flush=True)
     return 0
 
