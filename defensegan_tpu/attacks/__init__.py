@@ -26,6 +26,7 @@ from defensegan_tpu.attacks.cw import (CWConfig, carlini_wagner_l2,
 from defensegan_tpu.attacks.blackbox import (jacobian_augmentation,
                                              train_substitute)
 from defensegan_tpu.attacks.compose import (attack_batch_key, attack_z0_key,
+                                            eot_over_keys,
                                             make_attack_loss,
                                             make_attack_target,
                                             split_rand_fgsm_key)
@@ -35,6 +36,7 @@ from defensegan_tpu.attacks.spsa import (confident_margin_loss,
 __all__ = [
     "attack_batch_key",
     "attack_z0_key",
+    "eot_over_keys",
     "make_attack_loss",
     "make_attack_target",
     "split_rand_fgsm_key",

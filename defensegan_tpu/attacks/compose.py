@@ -149,6 +149,39 @@ def make_attack_loss(gan, logits_fn: Callable[[jnp.ndarray], jnp.ndarray],
     return attack_loss
 
 
+def eot_over_keys(attack_target: Callable[[jnp.ndarray, jax.Array],
+                                          jnp.ndarray],
+                  k_eot: int) -> Callable[[jnp.ndarray, jax.Array],
+                                          jnp.ndarray]:
+    """EOT over projection keys: mean defended logits across k_eot keys.
+
+    The counter-attack to K-pass serving (DefendedPipeline detect_passes /
+    vote=True). A single-key through-defense attack optimizes ONE draw of
+    the restart lottery, so its successes can be key-UNstable — on digits
+    CW, majority vote across 8 projection keys recovers ~21% of the
+    residual errors (RESULTS.md round 5). This wrapper is the
+    expectation-over-transformation move (Athalye et al. 2018,
+    arXiv:1707.07397) with the projection key as the transformation: each
+    attack evaluation differentiates through k_eot independent unrolled
+    projections and averages the LOGITS, so a found adversary must beat
+    the restart lottery in expectation — exactly the quantity
+    majority-vote serving measures.
+
+    Costs k_eot x the single-key graph per evaluation; the k_eot
+    projections run batched (vmap), not sequential, so the attacker pays
+    memory rather than latency where the batch still fits.
+    """
+    if k_eot <= 1:
+        return attack_target
+
+    def eot_target(x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        keys = jax.random.split(key, k_eot)
+        logits = jax.vmap(lambda kk: attack_target(x, kk))(keys)
+        return jnp.mean(logits, axis=0)
+
+    return eot_target
+
+
 def attack_batch_key(k_att: jax.Array, lo: int) -> jax.Array:
     """Key handed to the attack for the batch starting at element offset lo."""
     return jax.random.fold_in(k_att, lo)

@@ -25,7 +25,7 @@ import numpy as np
 
 from defensegan_tpu.attacks import (CWConfig, attack_batch_key,
                                     attack_z0_key, carlini_wagner_l2,
-                                    effective_cw_chunk, fgsm,
+                                    effective_cw_chunk, eot_over_keys, fgsm,
                                     make_attack_target, make_chunked_cw,
                                     make_chunked_pgd, pgd, rand_fgsm,
                                     split_rand_fgsm_key)
@@ -227,6 +227,15 @@ def main(argv=None):
                     "reconstruction (paper's strongest white-box); no: "
                     "attack crafted on the bare classifier, defense applied "
                     "only at eval (attacker unaware of the defense)")
+    ap.add_argument("--attack_eot_keys", type=int, default=1,
+                    help="differentiate through the MEAN defended logits "
+                    "over K independent projection keys (EOT with the "
+                    "restart lottery as the transformation, Athalye et "
+                    "al. 2018) — the counter-attack to K-pass vote "
+                    "serving, which exploits key-UNstable attack "
+                    "successes. Applies to the through-defense gradient "
+                    "attacks (fgsm/rand_fgsm/pgd/cw); costs K x the "
+                    "single-key graph per attack evaluation")
     ap.add_argument("--eval_z0", default="fresh",
                     choices=["fresh", "both"],
                     help="restart-init seeding for the DEFENDED eval. "
@@ -316,6 +325,22 @@ def main(argv=None):
         ap.error("spsa is gradient-free: it never differentiates through "
                  "the defense, so --attack_grad bpda has no effect; drop "
                  "the flag")
+    if args.attack_eot_keys > 1:
+        if (args.defense_type != "defense_gan"
+                or args.attack_through_defense != "yes"
+                or args.attack_type in ("none", "spsa")):
+            ap.error("--attack_eot_keys averages the THROUGH-DEFENSE "
+                     "logits over projection keys; it requires a gradient "
+                     "attack (fgsm/rand_fgsm/pgd/cw), --defense_type "
+                     "defense_gan, and --attack_through_defense yes (spsa "
+                     "already re-draws defense keys every iteration)")
+        if args.pgd_rec_penalty:
+            ap.error("--attack_eot_keys wraps the logits target; the "
+                     "--pgd_rec_penalty loss path does not support it yet")
+        if args.eval_z0 == "both":
+            ap.error("--eval_z0 both needs a single attack z0 to replay, "
+                     "but --attack_eot_keys consumes K split keys per "
+                     "evaluation")
     if args.pgd_rec_penalty and (args.attack_type != "pgd"
                                  or args.defense_type != "defense_gan"
                                  or args.attack_through_defense != "yes"):
@@ -449,6 +474,13 @@ def main(argv=None):
         attack_target = make_attack_target(gan, logits_fn, cfg,
                                            rec_iters=attack_rec_iters,
                                            grad_mode=args.attack_grad)
+        if args.attack_eot_keys > 1:
+            # vote-aware attacker: optimize the EXPECTED defended logits
+            # over the restart lottery (attacks/compose.py::eot_over_keys)
+            attack_target = eot_over_keys(attack_target,
+                                          args.attack_eot_keys)
+            print(f"attack target: EOT over {args.attack_eot_keys} "
+                  "projection keys per evaluation")
     else:
         attack_target = logits_fn
 
@@ -636,7 +668,8 @@ def main(argv=None):
         meta = {"dataset": cfg.type, "attack": args.attack_type,
                 "attack_grad": (args.attack_grad if through_defense
                                 else None),
-                "attack_through_defense": args.attack_through_defense}
+                "attack_through_defense": args.attack_through_defense,
+                "attack_eot_keys": args.attack_eot_keys}
         if args.attack_type in ("fgsm", "rand_fgsm", "pgd", "spsa"):
             meta["fgsm_eps"] = args.fgsm_eps
         if args.attack_type == "spsa":
@@ -863,6 +896,8 @@ def main(argv=None):
                 meta["attack"] = adv_meta.get("attack")
                 meta["replayed_from"] = args.load_adv
                 meta["adv_meta"] = adv_meta
+            if args.attack_eot_keys > 1:
+                meta["attack_eot_keys"] = args.attack_eot_keys
             if args.attack_type == "pgd":
                 meta.update(pgd_rec_penalty=args.pgd_rec_penalty,
                             pgd_rec_center=args.pgd_rec_center,
@@ -915,6 +950,8 @@ def main(argv=None):
         "rec_rr": cfg.rec_rr, "rec_iters": cfg.rec_iters,
         "attack_rec_iters": (attack_rec_iters
                              if args.attack_type != "none" else None),
+        "attack_eot_keys": (args.attack_eot_keys
+                            if args.attack_eot_keys > 1 else None),
         "attack_batch": args.attack_batch,
         "cw_max_iterations": (args.cw_max_iterations
                               if args.attack_type == "cw" else None),

@@ -57,6 +57,9 @@ def _lam(row):
         if lam:
             cen = row.get("spsa_rec_center")
             a += f" λ={lam:g}" + (f" c={cen:g}" if cen is not None else "")
+    eot = row.get("attack_eot_keys")
+    if eot:
+        a += f" EOT{eot}"
     return a
 
 
@@ -72,6 +75,7 @@ def whitebox_key(r):
             r.get("spsa_objective"), r.get("spsa_margin_kappa"),
             r.get("load_adv"), r.get("detect_passes"),
             r.get("attack_rec_iters"), r.get("eval_z0"),
+            r.get("attack_eot_keys"),
             r.get("num_tests"), r.get("rec_rr"), r.get("rec_iters"))
 
 

@@ -164,3 +164,32 @@ def test_cw_returns_original_where_it_fails():
     pred = np.asarray(jnp.argmax(state.logits_fn()(jnp.asarray(x[:8])), -1))
     correct = pred == y[:8]
     np.testing.assert_allclose(adv[correct], x[:8][correct], atol=1e-5)
+
+
+def test_eot_over_keys_is_mean_of_keyed_targets_and_differentiable():
+    """eot_over_keys(f, K)(x, key) == mean_k f(x, split(key, K)[k]), K=1 is
+    the identity wrapper, and gradients flow to x through the average —
+    the vote-aware counter-attack's contract (attacks/compose.py)."""
+    from defensegan_tpu.attacks import eot_over_keys
+
+    W = jax.random.normal(jax.random.key(0), (HW * HW, 10))
+
+    def keyed_target(x, key):
+        # key-dependent stochastic defended target: logits of x + noise(key)
+        noise = 0.1 * jax.random.normal(key, x.shape)
+        return (x + noise).reshape(x.shape[0], -1) @ W
+
+    assert eot_over_keys(keyed_target, 1) is keyed_target
+
+    x = jax.random.uniform(jax.random.key(1), (4, HW, HW, 1))
+    key = jax.random.key(2)
+    eot = eot_over_keys(keyed_target, 3)
+    got = eot(x, key)
+    keys = jax.random.split(key, 3)
+    want = jnp.mean(jnp.stack([keyed_target(x, k) for k in keys]), axis=0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    g = jax.grad(lambda xx: jnp.sum(eot(xx, key) ** 2))(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.max(jnp.abs(g))) > 0.0
