@@ -257,6 +257,40 @@ LEGS = [
               "--detect", "--detect_passes", "8",
               "--detect_save",
               "output/detstats/digits_conf_l6000_k8.npz"]},
+
+    # -- the vote-aware counter-attack (added after the K-pass vote legs
+    # measured): digits CW is the ONE cell where the attack is
+    # key-UNstable — majority vote across 8 keys recovers ~21% of its
+    # residual errors (0.836 -> 0.871) and disagreement carries signal
+    # (AUC 0.64). whitebox --attack_eot_keys 3 re-crafts CW against the
+    # EXPECTED defended logits over 3 projection keys (EOT with the
+    # restart lottery as the transformation; attacks/compose.py).
+    # Pre-registered predictions: if EOT-CW succeeds AND its successes
+    # become key-stable (vote recovery gone, disagree AUC -> 0.5), the
+    # vote=True serving win is an artifact of a key-naive attacker and
+    # TODO's "designed but not run" argument was wrong to wave it off;
+    # if EOT-CW finds fewer/larger-L2 adversaries, the vote survives a
+    # vote-aware attacker and the serving claim hardens. attack_batch 64
+    # (vs 128 single-key) bounds the 3x-wider unrolled graph's memory.
+    {"name": "r5_eotcw_digits", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/digits", "--model", "A",
+              "--attack_type", "cw", "--num_tests", "256",
+              "--classifier_epochs", "10", "--attack_rec_iters", "200",
+              "--attack_batch", "64", "--cw_max_iterations", "200",
+              "--cw_binary_search_steps", "4", "--cw_abort_early",
+              "--cw_chunk_iters", "25", "--attack_eot_keys", "3",
+              "--detect",
+              "--save_adv", "output/advsets/digits_cw_eot3.npz",
+              "--detect_save", "output/detstats/digits_cw_eot3.npz"]},
+    # the same 8-pass replay the single-key CW got: feeds
+    # kpass_analysis --vote (vote acc + disagreement AUC vs the
+    # single-key cell's 0.871 / 0.637)
+    {"name": "r5_vote_digits_cw_eot", "run": "script", "path": "whitebox.py",
+     "argv": ["--cfg", "output/gans/digits", "--model", "A",
+              "--attack_type", "none",
+              "--load_adv", "output/advsets/digits_cw_eot3.npz",
+              "--detect", "--detect_passes", "8",
+              "--detect_save", "output/detstats/digits_cw_eot3_k8.npz"]},
 ]
 
 if __name__ == "__main__":
