@@ -59,3 +59,27 @@ def test_train_reference_flags():
     for f in ("--cfg", "--is_train", "--rec_iters", "--rec_rr",
               "--rec_lr", "--batch_size", "--train_iters"):
         assert f in flags, f
+
+
+def test_whitebox_attack_eot_keys_validation():
+    """--attack_eot_keys (the vote-aware EOT counter-attack) is rejected at
+    PARSE time for combos whose semantics are undefined: spsa (already
+    key-averaged per iteration), the pgd_rec_penalty loss path, and
+    --eval_z0 both (no single z0 to replay). Parse-time because a bad
+    combo must not burn a full craft+eval pipeline first."""
+    from defensegan_tpu.cli import whitebox
+
+    bad = (
+        ["--cfg", "x.yml", "--attack_type", "spsa",
+         "--attack_eot_keys", "2"],
+        ["--cfg", "x.yml", "--attack_type", "pgd",
+         "--attack_eot_keys", "2", "--pgd_rec_penalty", "30"],
+        ["--cfg", "x.yml", "--attack_type", "cw",
+         "--attack_eot_keys", "2", "--eval_z0", "both"],
+        ["--cfg", "x.yml", "--attack_type", "cw",
+         "--attack_eot_keys", "2", "--attack_through_defense", "no"],
+    )
+    for argv in bad:
+        with pytest.raises(SystemExit) as e:
+            whitebox.main(argv)
+        assert e.value.code == 2, argv
