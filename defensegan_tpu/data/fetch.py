@@ -39,11 +39,16 @@ MIRRORS: Dict[str, Dict] = {
 
 
 def maybe_download(dataset: str, data_dir: str = "data",
-                   quiet: bool = False) -> bool:
+                   quiet: bool = False,
+                   mirrors: Dict[str, Dict] = None) -> bool:
     """Fetch a dataset's standard files if absent. Returns True when all
-    files are present afterwards (reference: datasets/utils.py)."""
+    files are present afterwards (reference: datasets/utils.py).
+
+    `mirrors` overrides the module MIRRORS table (tests point it at a
+    loopback HTTP server so the full urllib path is exercised offline).
+    """
     name = dataset.lower().replace("_", "-")
-    spec = MIRRORS.get(name)
+    spec = (MIRRORS if mirrors is None else mirrors).get(name)
     target = ensure_dir(os.path.join(data_dir, name))
     if spec is None:
         if not quiet:
