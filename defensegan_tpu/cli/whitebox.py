@@ -179,6 +179,20 @@ def main(argv=None):
                     "the TWO-SIDED detector (steer the statistic TO the "
                     "clean median C); C is exactly the statistic the "
                     "detector thresholds, measured, not differentiated")
+    ap.add_argument("--spsa_center_quantiles", type=float, nargs=2,
+                    default=None, metavar=("LO", "HI"),
+                    help="with --spsa_rec_penalty: per-image DISPERSED "
+                    "centers C_i at clean rec-err quantiles u_i ~ U[LO, "
+                    "HI] (measured from one clean reconstruction pass at "
+                    "craft time) instead of one fixed --spsa_rec_center. "
+                    "The counter to any detector keying on the rec-err "
+                    "statistic being SUSPICIOUSLY typical — the fixed-"
+                    "center attack concentrates at one clean quantile "
+                    "(u std ~0.04 vs clean ~0.29, the signature the "
+                    "oracle combiner exploits); dispersing spreads it "
+                    "across the clean distribution at zero cost vs the "
+                    "max combiner (mutually exclusive with "
+                    "--spsa_rec_center)")
     ap.add_argument("--spsa_objective", default="margin",
                     choices=["margin", "confident"],
                     help="margin: max_{i!=y} z_i - z_y on the defended "
@@ -361,6 +375,17 @@ def main(argv=None):
     if args.spsa_rec_center is not None and not args.spsa_rec_penalty:
         ap.error("--spsa_rec_center shapes the --spsa_rec_penalty term; "
                  "set a nonzero --spsa_rec_penalty")
+    if args.spsa_center_quantiles is not None:
+        if not args.spsa_rec_penalty:
+            ap.error("--spsa_center_quantiles shapes the "
+                     "--spsa_rec_penalty term; set a nonzero "
+                     "--spsa_rec_penalty")
+        if args.spsa_rec_center is not None:
+            ap.error("--spsa_center_quantiles (per-image dispersed) and "
+                     "--spsa_rec_center (fixed C) are mutually exclusive")
+        lo_q, hi_q = args.spsa_center_quantiles
+        if not 0.0 <= lo_q < hi_q <= 1.0:
+            ap.error("--spsa_center_quantiles needs 0 <= LO < HI <= 1")
     if args.spsa_objective == "confident":
         if args.attack_type != "spsa" or args.defense_type != "defense_gan" \
                 or args.attack_through_defense != "yes":
@@ -549,6 +574,9 @@ def main(argv=None):
             from defensegan_tpu.attacks import (confident_margin_loss,
                                                 make_spsa, margin_loss)
 
+            cen_q = args.spsa_center_quantiles
+            clean_err_sorted = None
+            cen_holder = {"cen": None}  # [B] per attack batch
             if through_defense:
                 # the attacker's oracle is the DEPLOYED defended
                 # classifier: the cached inference projection program
@@ -560,6 +588,22 @@ def main(argv=None):
                 cen = args.spsa_rec_center
                 kappa = args.spsa_margin_kappa
                 confident = args.spsa_objective == "confident"
+                if cen_q is not None:
+                    # the fully-informed attacker knows the clean rec-err
+                    # distribution: measure it once on the deployed
+                    # inference path (one projection pass)
+                    n_cal = int(min(256, x_test.shape[0]))
+                    res_cal = gan.reconstruct(
+                        jnp.asarray(x_test[:n_cal]),
+                        jax.random.fold_in(k_att, 7709),
+                        rec_iters=attack_rec_iters)
+                    clean_err_sorted = np.sort(
+                        np.asarray(res_cal.loss, np.float64))
+                    print(f"spsa dispersed centers: per-image clean "
+                          f"rec-err quantiles u ~ U[{cen_q[0]}, "
+                          f"{cen_q[1]}] from {n_cal} clean "
+                          f"reconstructions (median "
+                          f"{float(np.median(clean_err_sorted)):.5f})")
                 if lam or confident:
                     # detection-aware: res.loss IS the detector statistic
                     # (eval/detect.py scores the same projection loss), so
@@ -573,25 +617,36 @@ def main(argv=None):
                     # AND both combined-detector features under the
                     # attack's own keys — exactly what freeze_on_success
                     # should freeze.
-                    def _pen(rl):
+                    def _pen(rl, cenv):
                         if not lam:
                             return jnp.zeros_like(rl)
+                        if cen_q is not None:
+                            return lam * jnp.abs(rl - cenv)
                         return lam * (jnp.abs(rl - cen) if cen is not None
                                       else rl)
                     if confident:
                         post = jax.jit(
-                            lambda xh, y, rl:
+                            lambda xh, y, rl, cenv:
                             confident_margin_loss(logits_fn(xh), y)
-                            - kappa - _pen(rl))
+                            - kappa - _pen(rl, cenv))
                     else:
                         post = jax.jit(
-                            lambda xh, y, rl: margin_loss(logits_fn(xh), y)
-                            - _pen(rl))
+                            lambda xh, y, rl, cenv:
+                            margin_loss(logits_fn(xh), y)
+                            - _pen(rl, cenv))
 
                     def spsa_loss(x_flat, y_flat, k):
                         res = gan.reconstruct(x_flat, k,
                                               rec_iters=attack_rec_iters)
-                        return post(res.x_hat, y_flat, res.loss)
+                        cb = cen_holder["cen"]
+                        if cb is None:
+                            cenv = jnp.zeros_like(res.loss)
+                        else:
+                            # probe batches are [S*B]; tile the per-image
+                            # centers to match (current-point eval: S=1)
+                            cenv = jnp.tile(cb,
+                                            x_flat.shape[0] // cb.shape[0])
+                        return post(res.x_hat, y_flat, res.loss, cenv)
                 else:
                     post = jax.jit(
                         lambda xh, y: margin_loss(logits_fn(xh), y))
@@ -614,6 +669,14 @@ def main(argv=None):
                 verbose=through_defense)
 
             def craft(xb, yb, k):
+                if clean_err_sorted is not None:
+                    # per-image dispersed centers, derived from the batch
+                    # key (deterministic + replayable like the z0 keys)
+                    u = np.asarray(jax.random.uniform(
+                        jax.random.fold_in(k, 2 ** 24), (xb.shape[0],),
+                        minval=cen_q[0], maxval=cen_q[1]))
+                    cen_holder["cen"] = jnp.asarray(
+                        np.quantile(clean_err_sorted, u), jnp.float32)
                 return spsa_attack(xb, yb, k)
         else:  # cw
             cw_cfg = CWConfig(
@@ -679,6 +742,7 @@ def main(argv=None):
                         spsa_lr=args.spsa_lr,
                         spsa_rec_penalty=args.spsa_rec_penalty,
                         spsa_rec_center=args.spsa_rec_center,
+                        spsa_center_quantiles=args.spsa_center_quantiles,
                         spsa_objective=args.spsa_objective,
                         spsa_margin_kappa=args.spsa_margin_kappa)
         if args.attack_type == "pgd":
@@ -912,6 +976,7 @@ def main(argv=None):
                             spsa_lr=args.spsa_lr,
                             spsa_rec_penalty=args.spsa_rec_penalty,
                             spsa_rec_center=args.spsa_rec_center,
+                            spsa_center_quantiles=args.spsa_center_quantiles,
                             spsa_objective=args.spsa_objective,
                             spsa_margin_kappa=args.spsa_margin_kappa)
             arrays = {"errs_clean": errs_clean, "errs_adv": errs_adv,
@@ -983,6 +1048,8 @@ def main(argv=None):
                              if args.attack_type == "spsa" else None),
         "spsa_rec_center": (args.spsa_rec_center
                             if args.attack_type == "spsa" else None),
+        "spsa_center_quantiles": (args.spsa_center_quantiles
+                                  if args.attack_type == "spsa" else None),
         "spsa_objective": (args.spsa_objective
                            if args.attack_type == "spsa" else None),
         "spsa_margin_kappa": (args.spsa_margin_kappa

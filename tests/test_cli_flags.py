@@ -83,3 +83,33 @@ def test_whitebox_attack_eot_keys_validation():
         with pytest.raises(SystemExit) as e:
             whitebox.main(argv)
         assert e.value.code == 2, argv
+
+
+def test_whitebox_spsa_center_quantiles_validation():
+    """--spsa_center_quantiles (the dispersed-center counter to
+    concentration-aware combiners) is rejected at PARSE time without a
+    rec penalty, combined with the fixed --spsa_rec_center, or with an
+    out-of-order/out-of-range quantile pair."""
+    from defensegan_tpu.cli import whitebox
+
+    bad = (
+        # no penalty to shape
+        ["--cfg", "x.yml", "--attack_type", "spsa",
+         "--spsa_center_quantiles", "0.05", "0.95"],
+        # mutually exclusive with the fixed center
+        ["--cfg", "x.yml", "--attack_type", "spsa",
+         "--spsa_rec_penalty", "300", "--spsa_rec_center", "0.033",
+         "--spsa_center_quantiles", "0.05", "0.95"],
+        # LO >= HI
+        ["--cfg", "x.yml", "--attack_type", "spsa",
+         "--spsa_rec_penalty", "300",
+         "--spsa_center_quantiles", "0.9", "0.1"],
+        # out of [0, 1]
+        ["--cfg", "x.yml", "--attack_type", "spsa",
+         "--spsa_rec_penalty", "300",
+         "--spsa_center_quantiles", "0.05", "1.5"],
+    )
+    for argv in bad:
+        with pytest.raises(SystemExit) as e:
+            whitebox.main(argv)
+        assert e.value.code == 2, argv
