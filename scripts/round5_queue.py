@@ -291,6 +291,36 @@ LEGS = [
               "--load_adv", "output/advsets/digits_cw_eot3.npz",
               "--detect", "--detect_passes", "8",
               "--detect_save", "output/detstats/digits_cw_eot3_k8.npz"]},
+    # -- the dispersed-center counter to learned combiners (added after
+    # scripts/learned_combiner_analysis.py measured the fixed-center
+    # cells): an in-sample oracle LR separates the flagship confident
+    # leak (joint 0.227 -> 0.055) by keying on the attack's rec-err
+    # being SUSPICIOUSLY typical (u_err 0.537 +/- 0.04 vs clean's
+    # uniform). --spsa_center_quantiles 0.05 0.95 disperses the
+    # per-image center across the clean quantile range.
+    # Pre-registered predictions:
+    #   (1) vs the shipped max2f detector the leak is UNCHANGED
+    #       (~0.22): dispersed centers never enter the 5% tails, so
+    #       the err feature stays silent either way;
+    #   (2) the fixed-center-trained oracle's win EVAPORATES on this
+    #       set (joint back to >= margin-only ~0.14), because its
+    #       dominant negative-s_err coefficient fires on clean-typical
+    #       err scores the dispersed attack now shares;
+    #   (3) a fresh in-sample oracle on THIS set lands at margin-only
+    #       (~0.14) with |coef(s_err)| near 0 — i.e. after dispersion
+    #       the rec-err feature carries no per-image information and
+    #       the game-theoretic detector floor is the margin feature
+    #       alone. (1)+(2)+(3) => the oracle's apparent improvement is
+    #       an artifact of the attacker's fixed center, and the ~22%
+    #       structural-leak conclusion survives learned combiners.
+    {"name": "r5_conf_flagship_disp", "run": "script",
+     "path": "whitebox.py",
+     "argv": FLAGSHIP_SPSA + [
+         "--spsa_objective", "confident", "--spsa_margin_kappa", "31.65",
+         "--spsa_rec_penalty", "300",
+         "--spsa_center_quantiles", "0.05", "0.95",
+         "--save_adv", "output/advsets/flagship_conf_disp.npz",
+         "--detect_save", "output/detstats/flagship_conf_disp.npz"]},
 ]
 
 if __name__ == "__main__":
