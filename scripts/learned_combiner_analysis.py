@@ -27,6 +27,16 @@ Detectors, per saved cell (detstats npz from whitebox --detect_save):
              upper bound (NOT deployable; bounds what 2-D separation
              exists at all).
 
+  margin     low-tail purified-margin score alone — the predicted
+             detector FLOOR once an attacker disperses its rec-err
+             center (the err feature then carries no information).
+  xfer-lr    (dispersed cells only) the oracle trained on the SAME
+             dataset's fixed-center confident cells, evaluated on the
+             dispersed set — pre-registered prediction 2: its win
+             evaporates because its dominant negative-s_err
+             coefficient fires on clean-typical err scores the
+             dispersed attack now shares.
+
 Metrics: AUC, TPR@5% FPR, joint undetected-success rate. Calibration is
 the cell's own clean set (in-sample), matching the published whitebox
 --detect convention so rows are comparable with RESULTS.md; the same
@@ -60,6 +70,7 @@ CELLS = {
         ("flagship_conf_k25_l300.npz", "spsa_confident"),
         ("flagship_conf_l30.npz", "spsa_confident_weak"),
         ("flagship_cw_2f.npz", "cw"),
+        ("flagship_conf_disp.npz", "spsa_confident_disp"),
     ],
     "digits": [
         ("digits_spsa_l6000_eq.npz", "spsa_centered"),
@@ -161,6 +172,10 @@ def main(argv=None):
                              np.maximum(c["F_clean"][:, 0], c["F_clean"][:, 1]),
                              np.maximum(c["F_adv"][:, 0], c["F_adv"][:, 1]),
                              c["wrong_adv"], args.fpr))
+            # margin alone: the predicted floor under center dispersion
+            rows.append(_row("margin",
+                             c["F_clean"][:, 1], c["F_adv"][:, 1],
+                             c["wrong_adv"], args.fpr))
             # one-class joint kNN (attack-independent)
             rows.append(_row("knn",
                              _knn_scores(c["F_clean"], c["F_clean"], args.k,
@@ -180,6 +195,21 @@ def main(argv=None):
                                  m.predict_proba(c["F_clean"])[:, 1],
                                  m.predict_proba(c["F_adv"])[:, 1],
                                  c["wrong_adv"], args.fpr))
+            # transfer: the fixed-center-trained oracle pointed at the
+            # dispersed counter-attack (pre-registered prediction 2)
+            if c["family"] == "spsa_confident_disp":
+                src = [o for o in loaded if o["family"] == "spsa_confident"]
+                if src:
+                    F_tr = np.concatenate([o["F_clean"] for o in src]
+                                          + [o["F_adv"] for o in src])
+                    y_tr = np.concatenate(
+                        [np.zeros(len(o["F_clean"])) for o in src]
+                        + [np.ones(len(o["F_adv"])) for o in src])
+                    m = _lr_fit(F_tr, y_tr)
+                    rows.append(_row("xfer-lr",
+                                     m.predict_proba(c["F_clean"])[:, 1],
+                                     m.predict_proba(c["F_adv"])[:, 1],
+                                     c["wrong_adv"], args.fpr))
             # oracle: in-sample upper bound
             F_tr = np.concatenate([c["F_clean"], c["F_adv"]])
             y_tr = np.concatenate([np.zeros(len(c["F_clean"])),
@@ -189,6 +219,9 @@ def main(argv=None):
                              m.predict_proba(c["F_clean"])[:, 1],
                              m.predict_proba(c["F_adv"])[:, 1],
                              c["wrong_adv"], args.fpr))
+            print("    oracle coef [s_err,s_marg,u_err,u_marg,s*s]: "
+                  + np.array2string(m.coef_[0], precision=2))
+            rows[-1]["coef"] = [float(v) for v in m.coef_[0]]
             records.append({"dataset": ds, "file": c["file"],
                             "family": c["family"], "fpr": args.fpr,
                             "rows": rows, "meta": c["meta"]})
