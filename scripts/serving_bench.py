@@ -63,6 +63,15 @@ def main(argv=None):
     ap.add_argument("--calib_n", type=int, default=256)
     ap.add_argument("--detect_passes", type=int, default=1,
                     help="K-pass detection (K projection passes/input)")
+    ap.add_argument("--clf_dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="classifier COMPUTE dtype (params stay float32; "
+                    "flax casts per-layer). The round-4 serving curve "
+                    "showed the classifier+argmax epilogue costs ~34% of "
+                    "raw projection throughput at batch 16384 — bf16 "
+                    "halves its MXU cost. Prints the prediction-"
+                    "disagreement rate vs float32 on the test head so "
+                    "the speed/fidelity trade is measured, not assumed")
     ap.add_argument("--results_dir", default="output/results")
     args = ap.parse_args(argv)
 
@@ -96,12 +105,31 @@ def main(argv=None):
     x_test, _ = ds.load("test")
 
     tag = f"{cfg.type}_model{args.model}"
-    model = build_classifier(args.model, num_classes=cfg.num_classes)
+    import jax.numpy as jnp
+    clf_dtype = jnp.bfloat16 if args.clf_dtype == "bfloat16" \
+        else jnp.float32
+    model = build_classifier(args.model, num_classes=cfg.num_classes,
+                             dtype=clf_dtype)
     clf = load_cached_classifier(tag, model, cfg.image_shape)
     if clf is None:
         raise SystemExit(f"no cached classifier for {tag} — run the "
                          "matching whitebox cell first (it trains + caches)")
-    print(f"loaded classifier {tag}")
+    print(f"loaded classifier {tag} (compute dtype {args.clf_dtype})")
+
+    clf_disagree = None
+    if args.clf_dtype != "float32":
+        # fidelity gate: bf16 vs f32 prediction disagreement on the raw
+        # test head (same params, compute dtype only)
+        model32 = build_classifier(args.model, num_classes=cfg.num_classes)
+        lf32 = jax.jit(lambda xb: jnp.argmax(
+            model32.apply({"params": clf.params}, xb, train=False), -1))
+        lf16 = jax.jit(lambda xb: jnp.argmax(
+            model.apply({"params": clf.params}, xb, train=False), -1))
+        head = jnp.asarray(x_test[:1024])
+        clf_disagree = float(np.mean(np.asarray(lf32(head))
+                                     != np.asarray(lf16(head))))
+        print(f"clf bf16 vs f32 prediction disagreement on "
+              f"{head.shape[0]} test images: {clf_disagree:.4f}")
 
     pipe = DefendedPipeline(serve_gan, clf.logits_fn(), fpr=args.fpr,
                             detector=args.detector,
@@ -145,6 +173,8 @@ def main(argv=None):
             "clean_flag_rate": flag_rate,
             "repeats": args.repeats,
             "sharded": bool(args.sharded),
+            "clf_dtype": args.clf_dtype,
+            "clf_bf16_disagree": clf_disagree,
         }
         rows.append(row)
         append_jsonl(out_path, row)
