@@ -34,7 +34,13 @@ barely flip the decision; eval/detect.py::combined_scores), or
 "combined3" (adds the restart-dispersion feature: two-sided atypicality
 of the R restart finals' winner-normalized spread,
 eval/detect.py::restart_dispersion — the side channel a detection-aware
-attacker does not directly optimize when centering the winning loss).
+attacker does not directly optimize when centering the winning loss),
+or "margin" (the purified-margin feature ALONE — the measured detector
+floor against center-dispersing attackers, RESULTS.md round-5 learned-
+combiner analysis: beats the max combiner on the confident-SPSA cells,
+0.141 vs 0.227 joint leak, but surrenders the rec-err layer that closes
+the weak-centered and plain-SPSA cells at 0.000; an operator choice for
+deployments that expect fully detector-aware attackers).
 The margin feature reuses the logits the pipeline computes anyway, and
 the dispersion feature reuses the projection's per-restart losses, so
 both cost nothing extra at serving time.
@@ -83,7 +89,7 @@ class DefendedPipeline:
                  detect_passes: int = 1,
                  vote: bool = False):
         if detector not in ("two_sided", "one_sided", "combined",
-                            "combined3"):
+                            "combined3", "margin"):
             raise ValueError(f"unknown detector {detector!r}")
         if not 0.0 < fpr < 1.0:
             raise ValueError(f"fpr must be in (0, 1), got {fpr}")
@@ -143,6 +149,9 @@ class DefendedPipeline:
             if self.detector == "combined3":
                 features.append((dispersion, self._disp_calib, "two_sided"))
             return multi_feature_scores(features)
+        if self.detector == "margin":
+            from defensegan_tpu.eval.detect import ecdf_atypicality
+            return ecdf_atypicality(margins, self._margins_calib, "low")
         if self.detector == "two_sided":
             return np.abs(errs - self._center)
         return errs
@@ -210,7 +219,7 @@ class DefendedPipeline:
         _, errs, margins, disps = self._run(np.asarray(x_clean), key,
                                             batch_size)
         self._center = float(np.median(errs))
-        if self.detector in ("combined", "combined3"):
+        if self.detector in ("combined", "combined3", "margin"):
             # the ECDF calibration tables ARE the detector (sorted clean
             # feature samples); the threshold is the (1-fpr) quantile of
             # the clean combined score — all clean-data-only statistics

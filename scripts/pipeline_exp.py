@@ -57,7 +57,8 @@ def main(argv=None):
                     help="npz files from whitebox.py --save_adv")
     ap.add_argument("--fpr", type=float, default=0.05)
     ap.add_argument("--detector", default="two_sided",
-                    choices=["two_sided", "one_sided", "combined", "combined3"])
+                    choices=["two_sided", "one_sided", "combined", "combined3",
+                             "margin"])
     ap.add_argument("--calib_n", type=int, default=256)
     ap.add_argument("--detect_passes", type=int, default=1,
                     help="K-pass detection: average the detector features "

@@ -59,7 +59,8 @@ def main(argv=None):
                     "equal batch, VERDICT round-3 item 5)")
     ap.add_argument("--fpr", type=float, default=0.05)
     ap.add_argument("--detector", default="two_sided",
-                    choices=["two_sided", "one_sided"])
+                    choices=["two_sided", "one_sided", "combined",
+                             "combined3", "margin"])
     ap.add_argument("--calib_n", type=int, default=256)
     ap.add_argument("--detect_passes", type=int, default=1,
                     help="K-pass detection (K projection passes/input)")

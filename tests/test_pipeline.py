@@ -140,6 +140,30 @@ def test_pipeline_combined_detector_and_margin_field():
     assert (s >= 0.9).all()
 
 
+def test_pipeline_margin_detector():
+    """detector='margin': the purified-margin feature alone — the
+    measured floor against center-dispersing attackers (RESULTS.md
+    round-5 learned-combiner analysis). Calibrates a margin ECDF, is
+    BLIND to rec-err outliers (by design: it surrenders that layer),
+    and flags low-margin inputs."""
+    gan = _tiny_gan()
+    rng = np.random.default_rng(9)
+    x_clean = rng.uniform(0.4, 0.9, (24, 28, 28, 1)).astype(np.float32)
+
+    pipe = DefendedPipeline(gan, _logits_fn, fpr=0.25, detector="margin")
+    pipe.calibrate(x_clean, key=jax.random.key(6), batch_size=8)
+    out = pipe.predict(x_clean, key=jax.random.key(6), batch_size=8)
+    # same key as calibration => flag rate ~ fpr
+    assert out.flagged.mean() <= 0.35
+
+    # the margin scorer flags a forced-low margin and ignores rec-err
+    from defensegan_tpu.eval import ecdf_atypicality
+    calib = np.sort(out.margin.astype(np.float64))
+    assert (ecdf_atypicality(np.zeros(4), calib, "low") >= 0.9).all()
+    hi = float(out.margin.max()) + 1.0
+    assert (ecdf_atypicality(np.full(4, hi), calib, "low") <= 0.1).all()
+
+
 def test_pipeline_combined_rejects_unknown_detector():
     gan = _tiny_gan()
     with pytest.raises(ValueError):
