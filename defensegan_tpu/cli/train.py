@@ -31,10 +31,29 @@ def main(argv=None):
                     "reconstruction as its own PNG under "
                     "<output_dir>/recs/ (reference save_images_files "
                     "parity — per-image files, labels in the filename)")
+    ap.add_argument("--train_encoder", action="store_true",
+                    help="train the amortized-inversion encoder E(x)->z "
+                    "against the trained generator and checkpoint it under "
+                    "<output_dir>/encoder/ (enables REC_INIT=encoder*; "
+                    "defense/encoder_init.py — a TPU-first extension, not "
+                    "in the reference). Runs after --is_train training, or "
+                    "standalone against the stored checkpoint.")
     args = ap.parse_args(argv)
     cfg = cfg_from_args(args)
 
     ds = load_data(cfg)
+    if args.train_encoder and not args.is_train:
+        gan = load_gan(cfg, require_trained=True)
+        # uint8 stays uint8 on device (normalized per minibatch in the
+        # jitted encoder step, same as gan.train)
+        x_train, _ = ds.load_u8("train")
+        print(f"training encoder on {x_train.shape[0]} images for "
+              f"{cfg.encoder_train_iters} steps (generator frozen at step "
+              f"{int(gan.state.step)})")
+        m = gan.train_encoder(x_train)
+        print(f"encoder done in {m['wall_s']}s: img_mse={m['img_mse']:.5f} "
+              f"z_cycle={m['z_cycle']:.4f}; saved under {gan.encoder_dir}")
+        return
     if args.is_train:
         gan = load_gan(cfg)
         if gan.can_load():
@@ -46,6 +65,10 @@ def main(argv=None):
               f"for {cfg.train_iters} generator steps")
         gan.train(x_train)
         print(f"done; checkpoints + samples under {cfg.output_dir}")
+        if args.train_encoder:
+            m = gan.train_encoder(x_train)
+            print(f"encoder done in {m['wall_s']}s: "
+                  f"img_mse={m['img_mse']:.5f} z_cycle={m['z_cycle']:.4f}")
         return
 
     # test mode: sample grid + test reconstructions

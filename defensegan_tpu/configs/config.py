@@ -50,6 +50,20 @@ class Config:
     rec_lr: float = 10.0             # REC_LR
     rec_momentum: float = 0.7        # REC_MOMENTUM
     rec_unroll: int = 8              # REC_UNROLL (XLA scan unroll, perf-only)
+    rec_init: str = "random"         # REC_INIT: random | encoder |
+    #   encoder_jitter — z0 policy for the projection. "random" is the
+    #   reference's N(0, I) restarts (default; the other values are a
+    #   TPU-first extension — defense/encoder_init.py). encoder* need a
+    #   trained encoder checkpoint under <output_dir>/encoder/.
+    encoder_sigma: float = 0.5       # ENCODER_SIGMA (jitter std, rec_init=
+    #   encoder_jitter: restarts 1..R-1 = E(x) + sigma * N(0, I))
+
+    # --- encoder training (rec_init=encoder*; defense/encoder_init.py) ---
+    encoder_train_iters: int = 3000  # ENCODER_TRAIN_ITERS
+    encoder_lr: float = 1e-3         # ENCODER_LR (Adam)
+    encoder_batch: int = 128         # ENCODER_BATCH
+    encoder_beta_z: float = 0.5      # ENCODER_BETA_Z (latent-cycle weight)
+    encoder_noise_aug: float = 0.0   # ENCODER_NOISE_AUG (L-inf train noise)
 
     # --- compute ---
     compute_dtype: str = "bfloat16"  # COMPUTE_DTYPE: float32 | bfloat16

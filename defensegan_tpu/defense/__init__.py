@@ -11,6 +11,7 @@ from defensegan_tpu.defense.project import (
     sample_z0,
 )
 from defensegan_tpu.defense.pipeline import DefendedPipeline, PipelineResult
+from defensegan_tpu.defense.encoder_init import encoder_z0, train_encoder
 
 __all__ = [
     "ReconstructionResult",
@@ -19,4 +20,6 @@ __all__ = [
     "sample_z0",
     "DefendedPipeline",
     "PipelineResult",
+    "encoder_z0",
+    "train_encoder",
 ]

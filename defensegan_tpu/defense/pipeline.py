@@ -85,6 +85,7 @@ class DefendedPipeline:
                  rec_iters: Optional[int] = None,
                  rec_lr: Optional[float] = None,
                  rec_kernel: Optional[str] = None,
+                 rec_init: Optional[str] = None,
                  dispersion_kind: str = "rel_gap",
                  detect_passes: int = 1,
                  vote: bool = False):
@@ -122,8 +123,12 @@ class DefendedPipeline:
         # against the key-stable tailored-SPSA attacks. Opt-in because
         # the accuracy win is attack-dependent and K passes cost Kx.
         self.vote = bool(vote)
+        # rec_init="encoder"/"encoder_jitter": amortized-init serving fast
+        # path (defense/encoder_init.py) — typically paired with small
+        # rec_rr/rec_iters; calibrate() under the SAME settings, so the
+        # clean feature distributions match the serving configuration.
         self._rec = dict(rec_rr=rec_rr, rec_iters=rec_iters, rec_lr=rec_lr,
-                         rec_kernel=rec_kernel)
+                         rec_kernel=rec_kernel, rec_init=rec_init)
         self._center: Optional[float] = None      # clean rec-err median
         self._threshold: Optional[float] = None   # detector score cutoff
         self._errs_calib: Optional[np.ndarray] = None    # combined: ECDFs

@@ -30,6 +30,7 @@ def batched_reconstruct(gan, x: np.ndarray,
                         rec_iters: Optional[int] = None,
                         rec_lr: Optional[float] = None,
                         rec_kernel: Optional[str] = None,
+                        rec_init: Optional[str] = None,
                         key_fn: Optional[Callable[[int], jax.Array]] = None):
     """Yield (res, lo, hi) reconstruction batches over x — THE
     batching/padding/key semantics for every defended consumer
@@ -44,8 +45,9 @@ def batched_reconstruct(gan, x: np.ndarray,
       padding;
     - the restart-init key for the batch at offset lo is key_fn(lo) when
       given (exact attack-z0 replay) else a fresh split of `key`;
-    - rec_* / rec_kernel pass through to gan.reconstruct (full override
-      set).
+    - rec_* / rec_kernel / rec_init pass through to gan.reconstruct (full
+      override set; rec_init="encoder"/"encoder_jitter" is the
+      amortized-init extension, defense/encoder_init.py).
     """
     key = key if key is not None else jax.random.key(0)
     n = x.shape[0]
@@ -63,7 +65,7 @@ def batched_reconstruct(gan, x: np.ndarray,
             key, k = jax.random.split(key)
         res = gan.reconstruct(jnp.asarray(xb), k, rec_rr=rec_rr,
                               rec_iters=rec_iters, rec_lr=rec_lr,
-                              kernel=rec_kernel)
+                              kernel=rec_kernel, init=rec_init)
         yield res, lo, hi
 
 
@@ -89,6 +91,7 @@ def model_eval_gan(gan, logits_fn: LogitsFn, x: np.ndarray, y: np.ndarray,
                    rec_iters: Optional[int] = None,
                    rec_lr: Optional[float] = None,
                    rec_kernel: Optional[str] = None,
+                   rec_init: Optional[str] = None,
                    key_fn: Optional[Callable[[int], jax.Array]] = None,
                    return_correct: bool = False):
     """Defended accuracy: purify each batch via gan.reconstruct, classify.
@@ -131,6 +134,7 @@ def model_eval_gan(gan, logits_fn: LogitsFn, x: np.ndarray, y: np.ndarray,
                                            rec_iters=rec_iters,
                                            rec_lr=rec_lr,
                                            rec_kernel=rec_kernel,
+                                           rec_init=rec_init,
                                            key_fn=key_fn):
         yb = y[lo:hi]
         pad = res.x_hat.shape[0] - yb.shape[0]

@@ -118,6 +118,9 @@ class DefenseGAN:
         self._train_chunk = None
         self._reconstructors: Dict[Tuple, callable] = {}
         self._sampler = None
+        self.encoder = None          # amortized-inversion E (lazy-built)
+        self.enc_params = None
+        self._encode_fn = None
 
     # ------------------------------------------------------------------ gen
     def gen_apply_tanh(self, z: jnp.ndarray) -> jnp.ndarray:
@@ -139,13 +142,120 @@ class DefenseGAN:
         z = jax.random.normal(key, (n, self.cfg.latent_dim), jnp.float32)
         return self._sampler(self.state.gen_params, self.state.gen_stats, z)
 
+    # -------------------------------------------------------------- encoder
+    @property
+    def encoder_dir(self) -> str:
+        return os.path.join(self.cfg.output_dir, "encoder")
+
+    def _build_encoder(self):
+        if self.encoder is None:
+            from defensegan_tpu.models.encoder import encoder_for
+            self.encoder = encoder_for(
+                self.cfg.type, self.cfg.disc_dim,
+                z_dim=self.cfg.latent_dim,
+                dtype=_dtype_of(self.cfg.compute_dtype))
+        return self.encoder
+
+    def train_encoder(self, images: np.ndarray, *,
+                      iters: Optional[int] = None,
+                      key: Optional[jax.Array] = None,
+                      quiet: bool = False, **kw) -> Dict[str, float]:
+        """Train the amortized-inversion encoder E(x) -> z against the
+        FROZEN current generator and checkpoint it under
+        <output_dir>/encoder/ (defense/encoder_init.py; NOT in the
+        reference — enables rec_init="encoder"/"encoder_jitter").
+
+        The encoder inverts THIS generator: retraining the GAN stales it
+        (the checkpoint is stamped with the generator step it was trained
+        against) — re-run train_encoder after gan.train()/load().
+        """
+        from defensegan_tpu.defense.encoder_init import train_encoder
+        cfg = self.cfg
+        enc = self._build_encoder()
+        key = key if key is not None else jax.random.key(cfg.seed + 2)
+        params, metrics = train_encoder(
+            enc, self.gen_apply_tanh, images, key,
+            iters=iters if iters is not None else cfg.encoder_train_iters,
+            batch_size=kw.pop("batch_size", cfg.encoder_batch),
+            lr=kw.pop("lr", cfg.encoder_lr),
+            beta_z=kw.pop("beta_z", cfg.encoder_beta_z),
+            noise_aug=kw.pop("noise_aug", cfg.encoder_noise_aug),
+            quiet=quiet, **kw)
+        self.enc_params = params
+        self._encode_fn = None
+        save_checkpoint(self.encoder_dir, int(self.state.step), params)
+        return metrics
+
+    def has_encoder(self) -> bool:
+        return (self.enc_params is not None
+                or latest_step(self.encoder_dir) is not None)
+
+    def load_encoder(self, step: Optional[int] = None) -> "DefenseGAN":
+        """Restore the encoder trained against this run's generator.
+
+        step defaults to the latest encoder checkpoint; the step number
+        is the GENERATOR step the encoder was trained against, so a
+        mismatch with the loaded GAN checkpoint means a stale encoder."""
+        enc = self._build_encoder()
+        abstract = enc.init(
+            jax.random.key(0),
+            jnp.zeros((1,) + tuple(self.cfg.image_shape),
+                      jnp.float32))["params"]
+        self.enc_params = restore_checkpoint(self.encoder_dir, abstract,
+                                             step)
+        self._encode_fn = None
+        return self
+
+    def encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        """E(x) -> z [B, k]; x in [0, 1] image space."""
+        if self.enc_params is None:
+            self.load_encoder()
+        if self._encode_fn is None:
+            from defensegan_tpu.models.generator import from_image_space
+            encoder = self._build_encoder()
+
+            @jax.jit
+            def enc(params, x):
+                return encoder.apply({"params": params},
+                                     from_image_space(x))
+            self._encode_fn = enc
+        return self._encode_fn(self.enc_params, x)
+
+    def _encoder_z0(self, x: jnp.ndarray, key: jax.Array, rr: int,
+                    mode: str) -> jnp.ndarray:
+        """[B, R, k] init latents from the encoder z0 policy (cached
+        jitted program per (mode, R); enc_params passed as an argument so
+        nothing captures stale weights)."""
+        if self.enc_params is None:
+            if latest_step(self.encoder_dir) is None:
+                raise RuntimeError(
+                    f"rec_init={mode!r} needs a trained encoder under "
+                    f"{self.encoder_dir} — run train_encoder() first "
+                    f"(or train.py --train_encoder)")
+            self.load_encoder()
+        sigma = self.cfg.encoder_sigma
+        sig = ("enc-z0", mode, rr, sigma)
+        if sig not in self._reconstructors:
+            from defensegan_tpu.defense.encoder_init import encoder_z0
+            encoder = self._build_encoder()
+
+            @jax.jit
+            def build(enc_params, x, key):
+                def enc_apply(x_tanh):
+                    return encoder.apply({"params": enc_params}, x_tanh)
+                return encoder_z0(enc_apply, x, key, rec_rr=rr, mode=mode,
+                                  sigma=sigma)
+            self._reconstructors[sig] = build
+        return self._reconstructors[sig](self.enc_params, x, key)
+
     # -------------------------------------------------------------- defense
     def reconstruct(self, x: jnp.ndarray, key: Optional[jax.Array] = None,
                     *, rec_rr: Optional[int] = None,
                     rec_iters: Optional[int] = None,
                     rec_lr: Optional[float] = None,
                     back_prop: bool = False,
-                    kernel: Optional[str] = None) -> ReconstructionResult:
+                    kernel: Optional[str] = None,
+                    init: Optional[str] = None) -> ReconstructionResult:
         """Project x (in [0,1]) onto the generator manifold.
 
         Reference: models/gan.py::reconstruct(x, batch_size, back_prop,
@@ -157,6 +267,11 @@ class DefenseGAN:
         is the generic differentiable path — numerically identical to an
         attack graph built on defense.reconstruct directly, which is what
         --eval_z0 both uses to replay the attack's trajectory exactly.
+
+        init overrides cfg.rec_init: "random" (reference N(0, I) restarts)
+        | "encoder" | "encoder_jitter" (amortized-inversion init,
+        defense/encoder_init.py — needs a trained encoder). The projection
+        itself is identical under every init; only z0 changes.
         """
         cfg = self.cfg
         rr = rec_rr if rec_rr is not None else cfg.rec_rr
@@ -168,13 +283,22 @@ class DefenseGAN:
         # bench.py) guarantees the returned pallas values are runnable for
         # this (topology, batch*rr, back_prop, backend) and degrades every
         # guard failure to the per-arch best XLA path
+        init = init if init is not None else cfg.rec_init
+        if init not in ("random", "encoder", "encoder_jitter"):
+            raise ValueError(f"unknown rec_init {init!r}")
+
         kernel = resolve_projection_kernel(self, n=x.shape[0] * rr,
                                            back_prop=back_prop,
                                            requested=kernel)
         fn, mode = self._reconstructor_for(kernel, rr, iters, lr, back_prop)
-        if mode == "xk":
-            return fn(x, key)
-        z0 = sample_z0(key, x.shape[0], rr, cfg.latent_dim)
+        if init == "random":
+            if mode == "xk":
+                return fn(x, key)
+            z0 = sample_z0(key, x.shape[0], rr, cfg.latent_dim)
+        else:
+            z0 = self._encoder_z0(x, key, rr, init)
+            if mode == "xk":
+                return fn(x, key, z0)
         if mode == "xz":
             return fn(x, z0)
         return fn(self.state.gen_params, self.state.gen_stats, x, z0)

@@ -175,11 +175,15 @@ def make_pallas_dense_reconstructor(gan, *, rec_rr: int, rec_iters: int,
                                     rec_lr: float, momentum: float,
                                     tile: int = 512,
                                     interpret: bool = False):
-    """Jitted f(x, key) -> ReconstructionResult on the fused dense kernel.
+    """Jitted f(x, key, z0=None) -> ReconstructionResult on the fused dense
+    kernel.
 
     Drop-in for DefenseGAN.reconstruct (back_prop=False). Restart selection
     and G(z*) run in XLA on the same dense pack, so argmin semantics are
-    identical to defense/project.py.
+    identical to defense/project.py. z0 ([B, R, k], e.g. an encoder-init
+    policy — defense/encoder_init.py) overrides the internal N(0, I)
+    sampling; it enters the pallas_call as a plain runtime input, so no
+    new Mosaic compile is involved.
     """
     from defensegan_tpu.defense.fastgen import (make_packed_apply,
                                                 pack_generator)
@@ -196,14 +200,16 @@ def make_pallas_dense_reconstructor(gan, *, rec_rr: int, rec_iters: int,
     image_shape = gan.cfg.image_shape
 
     @jax.jit
-    def run(x: jnp.ndarray, key: jax.Array) -> ReconstructionResult:
+    def run(x: jnp.ndarray, key: jax.Array,
+            z0: jnp.ndarray = None) -> ReconstructionResult:
         batch = x.shape[0]
         x_tanh = from_image_space(x).reshape(batch, -1)
         x_rep = jnp.broadcast_to(x_tanh[:, None],
                                  (batch, rec_rr) + x_tanh.shape[1:])
         x_rep = x_rep.reshape(batch * rec_rr, -1)
-        z0 = sample_z0(key, batch, rec_rr, z_dim).reshape(
-            batch * rec_rr, z_dim)
+        if z0 is None:
+            z0 = sample_z0(key, batch, rec_rr, z_dim)
+        z0 = z0.reshape(batch * rec_rr, z_dim)
         z_fin = fused_projection_dense(
             pack, x_rep, z0, rec_iters=rec_iters, rec_lr=rec_lr,
             momentum=momentum, tile=tile, interpret=interpret)

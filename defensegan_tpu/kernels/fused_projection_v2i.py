@@ -174,11 +174,13 @@ def make_pallas_dense_int8_reconstructor(gan, *, rec_rr: int,
                                          rec_iters: int, rec_lr: float,
                                          momentum: float, tile: int = 256,
                                          interpret: bool = False):
-    """Jitted f(x, key) -> ReconstructionResult on the int8 fused kernel.
+    """Jitted f(x, key, z0=None) -> ReconstructionResult on the int8 fused
+    kernel.
 
     Same f32/bf16 XLA epilogue (final losses, argmin restart, G(z*)) as v2,
     so selection semantics are unchanged; only the in-loop D matmuls are
-    int8.
+    int8. z0 ([B, R, k]) overrides the internal N(0, I) sampling (see
+    fused_projection_v2.py::make_pallas_dense_reconstructor).
     """
     from defensegan_tpu.defense.fastgen import (make_packed_apply,
                                                 pack_generator)
@@ -195,14 +197,16 @@ def make_pallas_dense_int8_reconstructor(gan, *, rec_rr: int,
     image_shape = gan.cfg.image_shape
 
     @jax.jit
-    def run(x: jnp.ndarray, key: jax.Array) -> ReconstructionResult:
+    def run(x: jnp.ndarray, key: jax.Array,
+            z0: jnp.ndarray = None) -> ReconstructionResult:
         batch = x.shape[0]
         x_tanh = from_image_space(x).reshape(batch, -1)
         x_rep = jnp.broadcast_to(x_tanh[:, None],
                                  (batch, rec_rr) + x_tanh.shape[1:])
         x_rep = x_rep.reshape(batch * rec_rr, -1)
-        z0 = sample_z0(key, batch, rec_rr, z_dim).reshape(
-            batch * rec_rr, z_dim)
+        if z0 is None:
+            z0 = sample_z0(key, batch, rec_rr, z_dim)
+        z0 = z0.reshape(batch * rec_rr, z_dim)
         z_fin = fused_projection_dense_int8(
             pack, x_rep, z0, rec_iters=rec_iters, rec_lr=rec_lr,
             momentum=momentum, tile=tile, interpret=interpret)

@@ -318,11 +318,14 @@ def fused_projection_s2d(pack: S2DPack, x_pm: jnp.ndarray,
 def make_pallas_s2d_reconstructor(gan, *, rec_rr: int, rec_iters: int,
                                   rec_lr: float, momentum: float,
                                   tile: int = 128, interpret: bool = False):
-    """Jitted f(x, key) -> ReconstructionResult on the fused s2d kernel.
+    """Jitted f(x, key, z0=None) -> ReconstructionResult on the fused s2d
+    kernel.
 
     Drop-in for DefenseGAN.reconstruct (back_prop=False) on two-deconv deep
     generators. Restart selection and G(z*) run in XLA on the same s2d
-    pack, so argmin semantics are identical to defense/project.py.
+    pack, so argmin semantics are identical to defense/project.py. z0
+    ([B, R, k]) overrides the internal N(0, I) sampling (see
+    fused_projection_v2.py::make_pallas_dense_reconstructor).
     """
     from defensegan_tpu.defense.fastgen import (make_packed_apply,
                                                 pack_generator)
@@ -342,7 +345,8 @@ def make_pallas_s2d_reconstructor(gan, *, rec_rr: int, rec_iters: int,
     image_shape = gan.cfg.image_shape
 
     @jax.jit
-    def run(x: jnp.ndarray, key: jax.Array) -> ReconstructionResult:
+    def run(x: jnp.ndarray, key: jax.Array,
+            z0: jnp.ndarray = None) -> ReconstructionResult:
         batch = x.shape[0]
         n = batch * rec_rr
         x_tanh = from_image_space(x).reshape(batch, -1)
@@ -353,7 +357,9 @@ def make_pallas_s2d_reconstructor(gan, *, rec_rr: int, rec_iters: int,
         # pixel-major rows per tile: [(tile_idx, pixel, t_in_tile), cb]
         x_pm = x_rep.reshape(n // tile, tile, p2, cb).transpose(0, 2, 1, 3)
         x_pm = x_pm.reshape(p2 * n, cb)
-        z0 = sample_z0(key, batch, rec_rr, z_dim).reshape(n, z_dim)
+        if z0 is None:
+            z0 = sample_z0(key, batch, rec_rr, z_dim)
+        z0 = z0.reshape(n, z_dim)
         z_fin = fused_projection_s2d(
             pack, x_pm, z0, rec_iters=rec_iters, rec_lr=rec_lr,
             momentum=momentum, tile=tile, interpret=interpret)

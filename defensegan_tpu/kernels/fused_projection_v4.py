@@ -414,11 +414,13 @@ def fused_projection_v4(pack: V4Pack, x_rows: jnp.ndarray,
 def make_v4_reconstructor(gan, *, rec_rr: int, rec_iters: int,
                           rec_lr: float, momentum: float, tile: int = 32,
                           interpret: bool = False):
-    """Jitted f(x, key) -> ReconstructionResult on the v4 fused kernel.
+    """Jitted f(x, key, z0=None) -> ReconstructionResult on the v4 fused
+    kernel.
 
     Selection epilogue (final losses, per-image argmin, G(z*)) runs in
     XLA through the BN-folded packed apply — same semantics as
-    defense/project.py."""
+    defense/project.py. z0 ([B, R, k]) overrides the internal N(0, I)
+    sampling (see fused_projection_v2.py)."""
     from defensegan_tpu.defense.fastgen import make_packed_apply
     from defensegan_tpu.defense.project import (ReconstructionResult,
                                                 sample_z0)
@@ -433,7 +435,8 @@ def make_v4_reconstructor(gan, *, rec_rr: int, rec_iters: int,
     image_shape = gan.cfg.image_shape
 
     @jax.jit
-    def run(x: jnp.ndarray, key: jax.Array) -> ReconstructionResult:
+    def run(x: jnp.ndarray, key: jax.Array,
+            z0: jnp.ndarray = None) -> ReconstructionResult:
         batch = x.shape[0]
         n = batch * rec_rr
         x_tanh = from_image_space(x)
@@ -441,7 +444,9 @@ def make_v4_reconstructor(gan, *, rec_rr: int, rec_iters: int,
                                  + x_tanh.shape[1:]).reshape(
                                      (n,) + x_tanh.shape[1:])
         x_rows = pack.x_rows(x_rep, tile)
-        z0 = sample_z0(key, batch, rec_rr, z_dim).reshape(n, z_dim)
+        if z0 is None:
+            z0 = sample_z0(key, batch, rec_rr, z_dim)
+        z0 = z0.reshape(n, z_dim)
         z_fin = fused_projection_v4(
             pack, x_rows, z0, rec_iters=rec_iters, rec_lr=rec_lr,
             momentum=momentum, tile=tile, interpret=interpret)

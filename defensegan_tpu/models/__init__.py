@@ -6,6 +6,7 @@ utils/network_builder.py (model_a .. model_f, ~L20-250) of kabkabm/defensegan.
 
 from defensegan_tpu.models.generator import Generator, generator_for
 from defensegan_tpu.models.critic import Critic, critic_for
+from defensegan_tpu.models.encoder import Encoder, encoder_for
 from defensegan_tpu.models.classifiers import (
     ModelA,
     ModelB,
@@ -22,6 +23,8 @@ __all__ = [
     "generator_for",
     "Critic",
     "critic_for",
+    "Encoder",
+    "encoder_for",
     "ModelA",
     "ModelB",
     "ModelC",

@@ -82,7 +82,8 @@ class ShardedDefenseGAN:
                     rec_iters: Optional[int] = None,
                     rec_lr: Optional[float] = None,
                     back_prop: bool = False,
-                    kernel: Optional[str] = None):
+                    kernel: Optional[str] = None,
+                    init: Optional[str] = None):
         if back_prop:
             raise ValueError(
                 "ShardedDefenseGAN is the serving path (no gradients "
@@ -109,7 +110,13 @@ class ShardedDefenseGAN:
         if self._traced_state is not self.gan.state:
             self._cache.clear()
             self._traced_state = self.gan.state
-        sig = (x.shape[0], rr, iters, lr, kernel)
+        init = init if init is not None else cfg.rec_init
+        if init != "random" and self.gan.enc_params is None:
+            # load OUTSIDE the shard_map trace (orbax restore is host IO);
+            # the encoder params enter the traced program as constants,
+            # i.e. replicated — correct for data-parallel serving
+            self.gan.load_encoder()
+        sig = (x.shape[0], rr, iters, lr, kernel, init)
         if sig not in self._cache:
             gan = self.gan
             # build the single-chip program EAGERLY, before the shard_map
@@ -124,7 +131,7 @@ class ShardedDefenseGAN:
             def local(xb, k):
                 kb = jax.random.fold_in(k, jax.lax.axis_index(DATA_AXIS))
                 return gan.reconstruct(xb, kb, rec_rr=rr, rec_iters=iters,
-                                       rec_lr=lr, kernel=kernel)
+                                       rec_lr=lr, kernel=kernel, init=init)
 
             fn = jax.shard_map(local, mesh=self.mesh,
                                in_specs=(P(DATA_AXIS), P()),
