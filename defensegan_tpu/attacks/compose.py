@@ -63,7 +63,15 @@ def _defended_forward(gan, cfg, rec_iters, grad_mode):
     x_hat is differentiable w.r.t. x per grad_mode (exact: unrolled
     back_prop; bpda: straight-through identity). Shared by
     make_attack_target and make_attack_loss so the two attack surfaces
-    cannot drift."""
+    cannot drift.
+
+    Honors cfg.rec_init: when the deployed defense initializes the
+    projection from the amortized-inversion encoder
+    (defense/encoder_init.py), the fully-informed attacker's graph does
+    too — z0 = encoder_z0(E, x, ...) is differentiable w.r.t. x through
+    E, so exact-mode gradients flow through BOTH the encoder and the
+    unrolled projection (bpda mode is unchanged: forward real, backward
+    identity)."""
     from defensegan_tpu.defense import reconstruct, sample_z0
 
     if grad_mode not in ("exact", "bpda"):
@@ -71,13 +79,27 @@ def _defended_forward(gan, cfg, rec_iters, grad_mode):
                          f"got {grad_mode!r}")
     L = cfg.rec_iters if rec_iters is None else rec_iters
 
+    rec_init = getattr(cfg, "rec_init", "random")
+    if rec_init != "random":
+        from defensegan_tpu.defense import encoder_z0
+        if gan.enc_params is None:
+            gan.load_encoder()          # eager host IO, outside the trace
+        encoder = gan._build_encoder()
+        enc_params = gan.enc_params
+
     def fwd(x: jnp.ndarray, key: jax.Array):
         def gen_apply(z):
             return gan.generator.apply(
                 {"params": gan.state.gen_params,
                  "batch_stats": gan.state.gen_stats}, z, train=False)
 
-        z0 = sample_z0(key, x.shape[0], cfg.rec_rr, cfg.latent_dim)
+        if rec_init == "random":
+            z0 = sample_z0(key, x.shape[0], cfg.rec_rr, cfg.latent_dim)
+        else:
+            def enc_apply(x_tanh):
+                return encoder.apply({"params": enc_params}, x_tanh)
+            z0 = encoder_z0(enc_apply, x, key, rec_rr=cfg.rec_rr,
+                            mode=rec_init, sigma=cfg.encoder_sigma)
         res = reconstruct(gen_apply, x, z0, rec_iters=L,
                           rec_lr=cfg.rec_lr, momentum=cfg.rec_momentum,
                           back_prop=(grad_mode == "exact"),

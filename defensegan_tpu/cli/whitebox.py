@@ -955,7 +955,8 @@ def main(argv=None):
                     "defense": args.defense_type,
                     "fgsm_eps": args.fgsm_eps,
                     "detect_passes": args.detect_passes,
-                    "rec_rr": cfg.rec_rr, "rec_iters": cfg.rec_iters}
+                    "rec_rr": cfg.rec_rr, "rec_iters": cfg.rec_iters,
+                    "rec_init": cfg.rec_init}
             if adv_meta is not None:
                 meta["attack"] = adv_meta.get("attack")
                 meta["replayed_from"] = args.load_adv
@@ -1013,6 +1014,7 @@ def main(argv=None):
         "defense": args.defense_type,
         "fgsm_eps": args.fgsm_eps, "num_tests": int(x_test.shape[0]),
         "rec_rr": cfg.rec_rr, "rec_iters": cfg.rec_iters,
+        "rec_init": (cfg.rec_init if cfg.rec_init != "random" else None),
         "attack_rec_iters": (attack_rec_iters
                              if args.attack_type != "none" else None),
         "attack_eot_keys": (args.attack_eot_keys

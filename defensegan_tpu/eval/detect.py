@@ -72,6 +72,7 @@ def reconstruction_errors(gan, x: np.ndarray,
                           rec_iters: Optional[int] = None,
                           rec_lr: Optional[float] = None,
                           rec_kernel: Optional[str] = None,
+                          rec_init: Optional[str] = None,
                           key_fn: Optional[Callable[[int], jax.Array]] = None,
                           ) -> np.ndarray:
     """Per-image final projection loss (tanh-space MSE), shape [N].
@@ -89,6 +90,7 @@ def reconstruction_errors(gan, x: np.ndarray,
                                            rec_iters=rec_iters,
                                            rec_lr=rec_lr,
                                            rec_kernel=rec_kernel,
+                                           rec_init=rec_init,
                                            key_fn=key_fn):
         out.append(np.asarray(res.loss, np.float64)[:hi - lo])
     return np.concatenate(out)
@@ -102,6 +104,7 @@ def detection_features(gan, x: np.ndarray,
                        rec_iters: Optional[int] = None,
                        rec_lr: Optional[float] = None,
                        rec_kernel: Optional[str] = None,
+                       rec_init: Optional[str] = None,
                        key_fn: Optional[Callable[[int], jax.Array]] = None,
                        ) -> DetectionFeatures:
     """One shared projection pass -> DetectionFeatures(errs, margins,
@@ -132,6 +135,7 @@ def detection_features(gan, x: np.ndarray,
                                            rec_iters=rec_iters,
                                            rec_lr=rec_lr,
                                            rec_kernel=rec_kernel,
+                                           rec_init=rec_init,
                                            key_fn=key_fn):
         pb, mb = _margin(jnp.asarray(res.x_hat))
         errs.append(np.asarray(res.loss, np.float64)[:hi - lo])

@@ -52,6 +52,14 @@ def main(argv=None):
                     "R=1/L=200 serving operating point — RESULTS.md shows "
                     "it matches R=10 CW robustness at ~10x throughput)")
     ap.add_argument("--rec_iters", type=int, default=None)
+    ap.add_argument("--rec_init", default=None,
+                    choices=["random", "encoder", "encoder_jitter"],
+                    help="projection z0 policy (default: cfg REC_INIT). "
+                    "encoder*: amortized-inversion init "
+                    "(defense/encoder_init.py) — pair with small "
+                    "--rec_rr/--rec_iters for the fast serving point; "
+                    "needs <output_dir>/encoder/ (train.py "
+                    "--train_encoder)")
     ap.add_argument("--sharded", action="store_true",
                     help="serve through ShardedDefenseGAN over the full "
                     "device mesh (on one chip: mesh(1) — measures the "
@@ -136,6 +144,7 @@ def main(argv=None):
                             detector=args.detector,
                             rec_rr=args.rec_rr, rec_iters=args.rec_iters,
                             rec_kernel=args.kernel,
+                            rec_init=args.rec_init,
                             detect_passes=args.detect_passes)
     rr = args.rec_rr if args.rec_rr is not None else cfg.rec_rr
     iters = args.rec_iters if args.rec_iters is not None else cfg.rec_iters
@@ -166,7 +175,9 @@ def main(argv=None):
             "script": "serving_bench", "dataset": cfg.type,
             "model": args.model, "batch": b,
             "kernel": resolved, "rec_rr": rr,
-            "rec_iters": iters, "detector": args.detector,
+            "rec_iters": iters,
+            "rec_init": args.rec_init or cfg.rec_init,
+            "detector": args.detector,
             "detect_passes": args.detect_passes,
             "latency_ms_min": round(min(times) * 1e3, 2),
             "latency_ms_median": round(float(np.median(times)) * 1e3, 2),

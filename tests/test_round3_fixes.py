@@ -199,7 +199,7 @@ def test_model_eval_gan_rec_lr_passthrough():
                    batch_size=2, rec_lr=3.5, rec_iters=7, rec_rr=2,
                    rec_kernel="xla")
     assert seen == {"rec_lr": 3.5, "rec_iters": 7, "rec_rr": 2,
-                    "kernel": "xla"}
+                    "kernel": "xla", "init": None}
 
 
 # ------------------------------------------------------ margin control
