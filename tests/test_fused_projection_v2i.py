@@ -88,3 +88,35 @@ def test_v2i_tie_aware_gate(tmp_path):
     m_bad = tie_aware_disagreement(ref_l, bad_l, tau=1e-2)
     assert m_bad["raw_disagreement"] == 1.0
     assert m_bad["material_disagreement"] == 0.5
+
+
+def test_v2i_kernel_honors_z0_override(tmp_path):
+    """Same contract as v2's z0 override (the encoder-init serving path
+    runs THIS kernel with an injected z0): injected z0 tracks the XLA
+    reconstruct under that z0; the keyed run differs."""
+    from defensegan_tpu.defense.project import reconstruct, sample_z0
+
+    gan = _wide_gan(tmp_path)
+    x = jnp.asarray(np.random.RandomState(1).rand(4, 28, 28, 1)
+                    .astype(np.float32))
+    key = jax.random.key(9)
+    z0 = sample_z0(jax.random.key(10), 4, gan.cfg.rec_rr,
+                   gan.cfg.latent_dim)
+
+    run = make_pallas_dense_int8_reconstructor(
+        gan, rec_rr=gan.cfg.rec_rr, rec_iters=gan.cfg.rec_iters,
+        rec_lr=gan.cfg.rec_lr, momentum=gan.cfg.rec_momentum,
+        tile=8, interpret=True)
+    got = run(x, key, z0)
+    ref = reconstruct(gan.gen_apply_tanh, x, z0,
+                      rec_iters=gan.cfg.rec_iters, rec_lr=gan.cfg.rec_lr,
+                      momentum=gan.cfg.rec_momentum)
+    np.testing.assert_array_equal(
+        np.asarray(ref.all_losses).argmin(1),
+        np.asarray(got.all_losses).argmin(1))
+    np.testing.assert_allclose(np.asarray(got.all_losses),
+                               np.asarray(ref.all_losses),
+                               rtol=0.1, atol=8e-3)
+    got_keyed = run(x, key)
+    assert not np.allclose(np.asarray(got_keyed.all_losses),
+                           np.asarray(got.all_losses))
