@@ -60,6 +60,11 @@ def _lam(row):
     eot = row.get("attack_eot_keys")
     if eot:
         a += f" EOT{eot}"
+    init = row.get("rec_init")
+    if init and init != "random":
+        # non-default operating point (amortized init, round 5b/5c)
+        a += (f" [{'enc' if init == 'encoder' else 'encjit'} "
+              f"{row.get('rec_rr')}x{row.get('rec_iters')}]")
     return a
 
 
@@ -76,7 +81,8 @@ def whitebox_key(r):
             r.get("load_adv"), r.get("detect_passes"),
             r.get("attack_rec_iters"), r.get("eval_z0"),
             r.get("attack_eot_keys"),
-            r.get("num_tests"), r.get("rec_rr"), r.get("rec_iters"))
+            r.get("num_tests"), r.get("rec_rr"), r.get("rec_iters"),
+            r.get("rec_init"))
 
 
 def blackbox_key(r):
