@@ -30,7 +30,18 @@ def to_image_space(g: jnp.ndarray) -> jnp.ndarray:
 
 
 def from_image_space(x: jnp.ndarray) -> jnp.ndarray:
-    """Map [0, 1] images to the generator's [-1, 1] space."""
+    """Map [0, 1] images to the generator's [-1, 1] space.
+
+    uint8 inputs ([0, 255]) are accepted and normalized ON DEVICE: real
+    serving inputs are uint8 images, and shipping them to the chip
+    un-normalized is 4x less host->device (and DCN/PCIe) traffic — on
+    the measured serving curve the float32 input upload, not compute,
+    dominated end-to-end latency at the fast operating points
+    (RESULTS.md round 5b). Every projection/encoder ingest path funnels
+    through this function, so uint8 works everywhere uniformly.
+    """
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) * (2.0 / 255.0) - 1.0
     return x * 2.0 - 1.0
 
 

@@ -81,6 +81,15 @@ def main(argv=None):
                     "halves its MXU cost. Prints the prediction-"
                     "disagreement rate vs float32 on the test head so "
                     "the speed/fidelity trade is measured, not assumed")
+    ap.add_argument("--input_dtype", default="float32",
+                    choices=["float32", "uint8"],
+                    help="dtype of the images handed to predict(). uint8 "
+                    "is the realistic serving ingest (4x less "
+                    "host->device traffic; normalized on device inside "
+                    "the projection program — models/generator.py::"
+                    "from_image_space). The measured serving curve is "
+                    "input-upload-bound at the fast operating points, so "
+                    "this is a first-order lever, not a micro-opt")
     ap.add_argument("--results_dir", default="output/results")
     args = ap.parse_args(argv)
 
@@ -160,6 +169,8 @@ def main(argv=None):
     for b in args.batches:
         reps = int(np.ceil(b / x_test.shape[0]))
         x = np.tile(x_test, (reps,) + (1,) * (x_test.ndim - 1))[:b]
+        if args.input_dtype == "uint8":
+            x = np.round(x * 255.0).astype(np.uint8)
         resolved = resolve_projection_kernel(
             gan, n=b * rr, requested=args.kernel or
             cfg.projection_kernel)
@@ -187,6 +198,7 @@ def main(argv=None):
             "sharded": bool(args.sharded),
             "clf_dtype": args.clf_dtype,
             "clf_bf16_disagree": clf_disagree,
+            "input_dtype": args.input_dtype,
         }
         rows.append(row)
         append_jsonl(out_path, row)
