@@ -18,10 +18,12 @@ E's gradients:
 All legs run at --override REC_RR=2 REC_ITERS=50 REC_INIT=encoder — the
 serving operating point — with the same budgets as the round-5 cells so
 rows are directly comparable. Centers for the detection-aware SPSA use
---spsa_center_quantiles 0.5 0.5: per-image centers at the clean rec-err
-MEDIAN measured from one clean pass of the deployed config at craft
-time (the (10,200) constants 0.033/0.0017 do not transfer to the new
-clean distribution).
+--spsa_center_quantiles 0.45 0.55: per-image centers in a tight band
+around the clean rec-err MEDIAN, measured from one clean pass of the
+deployed config at craft time (the (10,200) constants 0.033/0.0017 do
+not transfer to the new clean distribution; the flag's validation
+requires LO < HI, so the band is the self-calibrated near-median
+choice).
 
 Pre-registered predictions:
   P5. Plain SPSA breaks purification about as hard as at (10, 200)
@@ -78,13 +80,13 @@ LEGS = [
      "argv": FLAGSHIP_SPSA + ENC_OP + [
          "--spsa_objective", "confident", "--spsa_margin_kappa", "31.65",
          "--spsa_rec_penalty", "300",
-         "--spsa_center_quantiles", "0.5", "0.5",
+         "--spsa_center_quantiles", "0.45", "0.55",
          "--detect_save", "output/detstats/flagship_conf_enc2x50.npz"]},
     {"name": "r5c_conf_digits_enc", "run": "script", "path": "whitebox.py",
      "argv": DIGITS_SPSA + ENC_OP + [
          "--spsa_objective", "confident", "--spsa_margin_kappa", "9.67",
          "--spsa_rec_penalty", "6000",
-         "--spsa_center_quantiles", "0.5", "0.5",
+         "--spsa_center_quantiles", "0.45", "0.55",
          "--detect_save", "output/detstats/digits_conf_enc2x50.npz"]},
     {"name": "r5c_cw_digits_enc", "run": "script", "path": "whitebox.py",
      "argv": ["--cfg", "output/gans/digits", "--model", "A",
