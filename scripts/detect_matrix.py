@@ -95,7 +95,7 @@ def pipeline_key(r):
     return ("pl", r.get("dataset"), r.get("model"), r.get("set"),
             r.get("detector"), r.get("fpr"), r.get("calib_n"),
             r.get("calib_source"), r.get("rec_rr"), r.get("rec_iters"),
-            r.get("n"))
+            r.get("rec_init"), r.get("n"))
 
 
 def _dedup(rows, keyfn):

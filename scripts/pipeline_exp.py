@@ -82,8 +82,15 @@ def main(argv=None):
     ap.add_argument("--eval_slice_n", type=int, default=256,
                     help="size of the attack-eval slice at the head of "
                     "the test set (test_tail calibration starts after it)")
+    ap.add_argument("--override", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="config overrides (any UPPERCASE YAML key) — e.g. "
+                    "REC_RR=2 REC_ITERS=50 REC_INIT=encoder for the "
+                    "amortized serving operating point")
     ap.add_argument("--results_dir", default="output/results")
     args = ap.parse_args(argv)
+
+    import yaml
 
     from defensegan_tpu.cli.common import load_data, load_gan
     from defensegan_tpu.configs import load_config
@@ -92,7 +99,11 @@ def main(argv=None):
     from defensegan_tpu.models import build_classifier
     from defensegan_tpu.utils.misc import append_jsonl, ensure_dir
 
-    cfg = load_config(args.cfg)
+    overrides = {}
+    for kv in args.override:
+        k, _, v = kv.partition("=")
+        overrides[k.lower()] = yaml.safe_load(v)
+    cfg = load_config(args.cfg, overrides)
     gan = load_gan(cfg, require_trained=True)
     ds = load_data(cfg)
 
@@ -146,6 +157,7 @@ def main(argv=None):
             "detect_passes": args.detect_passes,
             "vote": args.vote,
             "rec_rr": cfg.rec_rr, "rec_iters": cfg.rec_iters,
+            "rec_init": cfg.rec_init,
             "flag_rate": float(out.flagged.mean()),
             "acc_all": float(correct.mean()),
             "acc_unflagged": (float(correct[unflagged].mean())
