@@ -11,6 +11,7 @@ from defensegan_tpu.defense.project import (
     sample_z0,
 )
 from defensegan_tpu.defense.pipeline import DefendedPipeline, PipelineResult
+from defensegan_tpu.defense.audit import AuditedPipeline, AuditResult
 from defensegan_tpu.defense.encoder_init import encoder_z0, train_encoder
 
 __all__ = [
@@ -20,6 +21,8 @@ __all__ = [
     "sample_z0",
     "DefendedPipeline",
     "PipelineResult",
+    "AuditedPipeline",
+    "AuditResult",
     "encoder_z0",
     "train_encoder",
 ]
