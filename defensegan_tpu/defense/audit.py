@@ -24,6 +24,18 @@ its advset at the audit config (whitebox --load_adv; round-5e leg
 (~2.1x of the full-budget pipeline at p=0.1 on the round-5b numbers)
 rather than the full-budget cost on every input.
 
+MEASURED VERDICT (round 5e, RESULTS.md): against the confident SPSA
+set tailored to encoder (2,50), the (10,200) audit config's combined
+detector FAILS — the replayed set keeps defended acc 0.000 and leaks
+0.813 joint undetected at the audit point (vs 0.266 for an attack
+crafted against (10,200) directly), so leak_per_query ~ 0.89 at
+p=0.1. The cascade as-built does NOT restore the direct-attack
+ceiling for that attacker; it remains useful against attackers that
+only beat the serve config (e.g. plain/centered SPSA), and the
+measured mitigations for the confident transfer set are tracked in
+RESULTS.md round 5f (dispersion third feature at the audit;
+random-init serving at the cheap budget).
+
 No reference equivalent: kabkabm/defensegan ships no serving surface
 at all (SURVEY.md section 2); this composes two DefendedPipeline
 objects (defense/pipeline.py), which are themselves new machinery.
