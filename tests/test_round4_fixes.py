@@ -90,11 +90,15 @@ def test_supervisor_kills_hung_worker_keeps_last_record(monkeypatch,
                                                         capsys):
     # worker prints one record then hangs forever (the wedged-PJRT case);
     # the supervisor must kill it at the deadline and the record stands
+    # deadline must cover interpreter startup on a LOADED machine (a
+    # 3 s budget flaked when the suite ran beside a chip queue: the
+    # worker never printed before the kill, so the supervisor emitted
+    # the diagnostic record instead of keeping the relayed one)
     worker = ("import json, time\n"
               "print(json.dumps({'metric': 'm', 'value': 3.0,"
               " 'partial': True}), flush=True)\n"
               "time.sleep(3600)\n")
-    rc, recs = _run_supervisor(monkeypatch, capsys, worker, deadline=3.0)
+    rc, recs = _run_supervisor(monkeypatch, capsys, worker, deadline=12.0)
     assert rc == 0
     assert recs[-1]["value"] == 3.0
 
